@@ -1,0 +1,112 @@
+"""Last-writer-wins per-key collapse — the engine's core dedup/merge operator.
+
+Generalizes the reference's duplicate-pk dict overwrite
+(arches_rascoll/ref_collection.py:95-97,142: later rows overwrite earlier
+field values per raw_pk) into an ordered LWW keyed on arbitrary columns with
+an explicit ordering (commit_seq, commit tiebreak).
+
+Three formulations, all semantically identical (tested against each other
+and the pure-Python oracle):
+
+* ``lww_latest``  — ``max`` over a comparable struct (equivalent to
+  ``max_by``). **Preferred at scale**: hash aggregation with map-side
+  partial aggregation, so each shuffle partition receives at most
+  ``num_input_partitions`` pre-aggregated rows per key — a hot key (one repo
+  holding 50% of all events) costs the reducer O(partitions), not O(events).
+  No sort, no window, skew-immune by construction.
+* ``lww_window`` — ``row_number() OVER (PARTITION BY keys ORDER BY ord
+  DESC)``. Kept for parity testing and for callers that need the losing
+  rows too (rank > 1). Requires a full sort per key, and a hot key lands on
+  one task — use the salted variant for skewed data.
+* ``lww_latest_salted`` — explicit two-phase aggregation via a deterministic
+  salt derived from the ordering column. Exists to *demonstrate* the salting
+  pattern (BASELINE north_star: "hot repos are salted/repartitioned to
+  defeat skew") and for engines/configs where partial aggregation is
+  disabled; with hash-agg enabled it produces the same plan shape as
+  phase1+phase2 manual combine.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_PAYLOAD = "_lww_payload"
+_ORD = "_lww_ord"
+
+
+def _ord_struct(df: DataFrame, keys: Sequence[str], order_cols: Sequence[str]) -> Column:
+    payload_cols = [c for c in df.columns if c not in keys]
+    return F.struct(
+        *[F.col(c) for c in order_cols],
+        F.struct(*[F.col(c) for c in payload_cols]).alias(_PAYLOAD),
+    )
+
+
+def lww_latest(df: DataFrame, keys: Sequence[str], order_cols: Sequence[str]) -> DataFrame:
+    """Keep, per key, the row with the greatest (order_cols...) tuple.
+
+    Implemented as ``max`` of a struct whose leading fields are the ordering
+    columns — struct comparison is lexicographic, so the max carries the
+    winning row's payload. One shuffle on ``keys`` with map-side combine.
+    """
+    keys = list(keys)
+    out = df.groupBy(*keys).agg(F.max(_ord_struct(df, keys, order_cols)).alias(_ORD))
+    return out.select(*keys, f"{_ORD}.{_PAYLOAD}.*")
+
+
+def lww_window(df: DataFrame, keys: Sequence[str], order_cols: Sequence[str]) -> DataFrame:
+    """Window formulation: row_number()==1 over keys ordered descending."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(*keys).orderBy(*[F.col(c).desc() for c in order_cols])
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+        .select(*df.columns)
+    )
+
+
+def lww_latest_salted(
+    df: DataFrame,
+    keys: Sequence[str],
+    order_cols: Sequence[str],
+    salt_buckets: int = 64,
+) -> DataFrame:
+    """Two-phase LWW: phase 1 collapses per (keys, salt) — spreading a hot
+    key over ``salt_buckets`` reducers — phase 2 collapses the ≤salt_buckets
+    survivors per key. Salt is deterministic (hash of the first ordering
+    column) so replay is stable."""
+    keys = list(keys)
+    salt = F.pmod(F.xxhash64(F.col(order_cols[0]).cast("string")), F.lit(salt_buckets))
+    ord1 = _ord_struct(df, keys + ["_salt"], order_cols)
+    phase1 = (
+        df.withColumn("_salt", salt)
+        .groupBy(*keys, "_salt")
+        .agg(F.max(ord1).alias(_ORD))
+    )
+    phase2 = phase1.groupBy(*keys).agg(F.max(_ORD).alias(_ORD))
+    return phase2.select(*keys, f"{_ORD}.{_PAYLOAD}.*")
+
+
+def collapse_batch(
+    df: DataFrame,
+    keys: Sequence[str] = ("repo", "path"),
+    order_cols: Sequence[str] = ("commit_seq", "commit"),
+) -> DataFrame:
+    """Collapse a change-event micro-batch to one winning event per key
+    (op retained — a winning 'D' becomes a delete in the MERGE)."""
+    return lww_latest(df, keys, order_cols)
+
+
+def final_state(
+    df: DataFrame,
+    keys: Sequence[str] = ("repo", "path"),
+    order_cols: Sequence[str] = ("commit_seq", "commit"),
+    op_col: str = "op",
+) -> DataFrame:
+    """Full-log replay to final table state: LWW winners minus tombstones."""
+    return collapse_batch(df, keys, order_cols).where(F.col(op_col) != "D")

@@ -1,0 +1,47 @@
+"""SparkSession factory with scale-appropriate defaults.
+
+Defaults chosen for the 100 TB target (AQE on, skew-join on, Arrow on for
+pandas-UDF paths); tests/bench override parallelism via ``cores``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "arches_rascoll_etl_spark",
+    cores: int | str = "*",
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build a SparkSession configured for this engine.
+
+    ``cores`` is an int (local[N]) or "*" (local[*]); on a real cluster the
+    master is taken from the environment (spark-submit) and ``cores`` is
+    ignored — we only set master when none is configured.
+    """
+    if shuffle_partitions is None:
+        shuffle_partitions = 32 if cores == "*" else max(int(cores), 8)
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        # deterministic parquet output (no summary files, stable committer)
+        .config("spark.sql.parquet.compression.codec", "snappy")
+        .config("spark.driver.memory", "8g")
+        .config("spark.ui.enabled", "false")
+    )
+    from pyspark import SparkConf
+
+    if SparkConf().get("spark.master", None) is None:
+        # not launched via spark-submit --master; run local
+        builder = builder.master(f"local[{cores}]")
+    if extra_conf:
+        for k, v in extra_conf.items():
+            builder = builder.config(k, v)
+    return builder.getOrCreate()
