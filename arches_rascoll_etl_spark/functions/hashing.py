@@ -23,6 +23,7 @@ import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import StringType
 
 # engine namespace for UUIDv5 minting (a fixed, public namespace — any
 # constant works; determinism is what matters)
@@ -41,7 +42,7 @@ def content_key(*cols: Column | str, sep: str = "|") -> Column:
     return F.sha2(F.concat_ws(sep, *[c.cast("string") for c in cs]), 256)
 
 
-@pandas_udf("string")
+@pandas_udf(StringType())
 def uuid5_udf(s: pd.Series) -> pd.Series:
     """RFC-4122 v5 UUID of each input string (Arrow-batched).
 
@@ -52,7 +53,7 @@ def uuid5_udf(s: pd.Series) -> pd.Series:
     return s.map(lambda v: str(uuid.uuid5(ns, v)) if v is not None else None)
 
 
-@pandas_udf("string")
+@pandas_udf(StringType())
 def sha256_udf(s: pd.Series) -> pd.Series:
     """Pure-Python sha256 (Arrow-batched). Exists to cross-check the
     JVM ``F.sha2`` path in tests; production code uses ``sha256_hex``."""

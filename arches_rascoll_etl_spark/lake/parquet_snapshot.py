@@ -1,0 +1,346 @@
+"""SnapshotTable — pure-Parquet copy-on-write snapshot table.
+
+Iceberg-shaped semantics with zero extra dependencies:
+
+* **Snapshot isolation / atomic commit** — every commit writes immutable
+  data files plus a new JSON manifest, then atomically swaps a ``_current``
+  pointer via ``os.replace``. Readers resolve ``_current`` once; a crash
+  anywhere before the swap leaves the previous snapshot intact (orphan data
+  files are unreferenced and harmless).
+* **Copy-on-write MERGE bounded by key-hash buckets** — rows are bucketed by
+  ``pmod(xxhash64(key...), n_buckets)``. A merge rewrites *only the buckets
+  the batch touches*: at 100 TB with 4096 buckets, a batch touching 1% of
+  keys rewrites ~1% of the table, and the rewrite job reads only those
+  buckets' files (file-level pruning via the manifest — the moral
+  equivalent of Iceberg partition pruning).
+* **Idempotent commits** — each commit carries a ``batch-id`` in its
+  summary; re-merging an already-committed batch id is a no-op (generalizes
+  the reference's ``INSERT … WHERE pk NOT IN``,
+  arches_rascoll/ref_collection.py:305-314).
+* **Schema evolution** — merge unions by name with missing columns; the
+  manifest stores the merged schema (new columns appended, int→long /
+  float→double widening), mirroring Iceberg's evolution rules. Old files
+  simply lack the new columns and read as null (the reference's accumulated
+  ``col_data_types``, ref_collection.py:91,105).
+* **Time travel** — ``read(version=N)`` reads any retained snapshot.
+
+Merge algorithm (one shuffle, skew-tolerant):
+
+1. collapse the batch to one winner per key (LWW hash-agg, map-side combine
+   — a hot repo costs O(num_partitions), not O(events); see operators.lww);
+2. compute affected buckets from winners (tiny distinct collect, ≤ n_buckets
+   values);
+3. union(target rows of affected buckets, winners) → LWW again → winners
+   minus tombstones. Out-of-order batches are therefore safe: an event older
+   than the stored row loses to it instead of clobbering it;
+4. write rewritten buckets partitioned by bucket dir; new manifest = old
+   file lists for untouched buckets + new file lists for rewritten ones.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+from typing import Iterable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..operators.lww import lww_latest
+from .table import LakeTable, MergeStats
+
+_CURRENT = "_current"
+_BUCKET = "_bucket"
+
+# numeric widening lattice (Iceberg-style type promotion)
+_WIDEN = {
+    ("integer", "long"): "long",
+    ("long", "integer"): "long",
+    ("float", "double"): "double",
+    ("double", "float"): "double",
+    ("integer", "double"): "double",
+    ("double", "integer"): "double",
+    ("long", "double"): "double",
+    ("double", "long"): "double",
+}
+
+
+def _merge_schemas(old: T.StructType, new: T.StructType) -> T.StructType:
+    """Iceberg-style evolution: keep old field order, append new fields,
+    widen numeric types, never drop columns."""
+    fields: list[T.StructField] = []
+    new_by_name = {f.name: f for f in new.fields}
+    for f in old.fields:
+        nf = new_by_name.get(f.name)
+        if nf is None or nf.dataType == f.dataType:
+            fields.append(f)
+        else:
+            wide = _WIDEN.get((f.dataType.typeName(), nf.dataType.typeName()))
+            if wide is None:
+                raise ValueError(
+                    f"incompatible evolution for column {f.name!r}: "
+                    f"{f.dataType.simpleString()} -> {nf.dataType.simpleString()}"
+                )
+            fields.append(T.StructField(f.name, T.LongType() if wide == "long" else T.DoubleType(), True))
+    old_names = {f.name for f in old.fields}
+    fields.extend(f for f in new.fields if f.name not in old_names)
+    return T.StructType(fields)
+
+
+class SnapshotTable(LakeTable):
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        key_cols: Iterable[str] = ("repo", "path"),
+        order_cols: Iterable[str] = ("commit_seq", "commit"),
+        op_col: str = "op",
+        n_buckets: int = 32,
+    ):
+        self.spark = spark
+        self.path = path
+        self.key_cols = list(key_cols)
+        self.order_cols = list(order_cols)
+        self.op_col = op_col
+        self.n_buckets = n_buckets
+        os.makedirs(os.path.join(path, "manifests"), exist_ok=True)
+        os.makedirs(os.path.join(path, "data"), exist_ok=True)
+
+    # ---------- snapshot plumbing ----------
+
+    def _current_version(self) -> int | None:
+        p = os.path.join(self.path, _CURRENT)
+        if not os.path.exists(p):
+            return None
+        with open(p) as f:
+            return json.load(f)["version"]
+
+    def _manifest_path(self, version: int) -> str:
+        return os.path.join(self.path, "manifests", f"v{version:06d}.json")
+
+    def _load_manifest(self, version: int) -> dict:
+        with open(self._manifest_path(version)) as f:
+            return json.load(f)
+
+    def _commit(self, manifest: dict) -> None:
+        version = manifest["version"]
+        mp = self._manifest_path(version)
+        with open(mp + ".tmp", "w") as f:
+            json.dump(manifest, f)
+        os.replace(mp + ".tmp", mp)
+        cur_tmp = os.path.join(self.path, _CURRENT + ".tmp")
+        with open(cur_tmp, "w") as f:
+            json.dump({"version": version}, f)
+        os.replace(cur_tmp, os.path.join(self.path, _CURRENT))
+
+    def exists(self) -> bool:
+        return self._current_version() is not None
+
+    def current_version(self) -> int | None:
+        return self._current_version()
+
+    def schema(self) -> T.StructType:
+        m = self._load_manifest(self._current_version())
+        return T.StructType.fromJson(m["schema"])
+
+    def snapshots(self) -> list[dict]:
+        v = self._current_version()
+        out = []
+        while v is not None:
+            m = self._load_manifest(v)
+            out.append({"version": m["version"], "summary": m.get("summary", {})})
+            v = m.get("parent_version")
+        return list(reversed(out))
+
+    def committed_batch_ids(self) -> set[str]:
+        return {
+            s["summary"]["batch-id"]
+            for s in self.snapshots()
+            if "batch-id" in s.get("summary", {})
+        }
+
+    # ---------- read ----------
+
+    def _read_files(self, files: list[str], schema: T.StructType) -> DataFrame:
+        if not files:
+            return self.spark.createDataFrame([], schema)
+        paths = [os.path.join(self.path, f) for f in files]
+        # explicit schema: old files lacking evolved columns read as null;
+        # narrower numerics are up-cast by the parquet vectorized reader
+        return self.spark.read.schema(schema).parquet(*paths)
+
+    def read(self, version: int | None = None) -> DataFrame:
+        v = self._current_version() if version is None else version
+        if v is None:
+            raise FileNotFoundError(f"table {self.path} has no snapshots")
+        m = self._load_manifest(v)
+        schema = T.StructType.fromJson(m["schema"])
+        files = [f for bucket_files in m["files"].values() for f in bucket_files]
+        return self._read_files(files, schema)
+
+    # ---------- write ----------
+
+    def _bucket_col(self, df: DataFrame):
+        return F.pmod(
+            F.xxhash64(F.concat_ws("\x1f", *[F.col(k) for k in self.key_cols])),
+            F.lit(self.n_buckets),
+        ).cast("int")
+
+    def _write_buckets(self, df: DataFrame, commit_id: str) -> dict[str, list[str]]:
+        """Write df (with _bucket col) partitioned by bucket; return
+        bucket -> [relative file paths]."""
+        out_dir = os.path.join(self.path, "data", commit_id)
+        (
+            df.repartition(F.col(_BUCKET))
+            .write.partitionBy(_BUCKET)
+            .mode("overwrite")
+            .parquet(out_dir)
+        )
+        files: dict[str, list[str]] = {}
+        for entry in os.listdir(out_dir):
+            if not entry.startswith(f"{_BUCKET}="):
+                continue
+            b = entry.split("=", 1)[1]
+            bdir = os.path.join(out_dir, entry)
+            rel = [
+                os.path.join("data", commit_id, entry, fn)
+                for fn in os.listdir(bdir)
+                if fn.endswith(".parquet")
+            ]
+            files[b] = sorted(rel)
+        return files
+
+    def overwrite(self, df: DataFrame, summary: dict | None = None) -> int:
+        """Full replace (initial load) — one snapshot containing all rows."""
+        t0 = time.time()
+        commit_id = uuid.uuid4().hex[:12]
+        data = df.withColumn(_BUCKET, self._bucket_col(df))
+        files = self._write_buckets(data, commit_id)
+        parent = self._current_version()
+        version = 0 if parent is None else parent + 1
+        manifest = {
+            "version": version,
+            "parent_version": parent,
+            "schema": df.schema.jsonValue(),
+            "n_buckets": self.n_buckets,
+            "key_cols": self.key_cols,
+            "order_cols": self.order_cols,
+            "files": files,
+            "summary": {"operation": "overwrite", "wall_ms": round((time.time() - t0) * 1000, 1), **(summary or {})},
+        }
+        self._commit(manifest)
+        return version
+
+    def merge(self, batch: DataFrame, batch_id: str, summary: dict | None = None) -> MergeStats:
+        t0 = time.time()
+        bid = str(batch_id)
+        if self.exists() and bid in self.committed_batch_ids():
+            return MergeStats(batch_id=bid, applied=False, skipped_reason="already-committed",
+                              total_buckets=self.n_buckets)
+
+        # 1. collapse batch to per-key winners (skew-immune hash agg)
+        rows_in = batch.count()  # count-star: metadata-only for parquet sources
+        winners = lww_latest(batch, self.key_cols, self.order_cols)
+        winners = winners.withColumn(_BUCKET, self._bucket_col(winners))
+
+        if not self.exists():
+            live = winners.where(F.col(self.op_col) != "D").drop(self.op_col)
+            stats_row = winners.agg(
+                F.count("*").alias("n"),
+                F.sum(F.when(F.col(self.op_col) == "D", 1).otherwise(0)).alias("d"),
+            ).first()
+            data = live.withColumn(_BUCKET, self._bucket_col(live))
+            commit_id = uuid.uuid4().hex[:12]
+            files = self._write_buckets(data, commit_id)
+            manifest = {
+                "version": 0,
+                "parent_version": None,
+                "schema": live.drop(_BUCKET).schema.jsonValue(),
+                "n_buckets": self.n_buckets,
+                "key_cols": self.key_cols,
+                "order_cols": self.order_cols,
+                "files": files,
+                "summary": {"operation": "merge", "batch-id": bid, **(summary or {})},
+            }
+            self._commit(manifest)
+            return MergeStats(
+                batch_id=bid, applied=True, rows_in=rows_in,
+                deletes=int(stats_row["d"] or 0), upserts=stats_row["n"] - int(stats_row["d"] or 0),
+                affected_buckets=sorted(int(b) for b in files), total_buckets=self.n_buckets,
+                snapshot_version=0, wall_ms=(time.time() - t0) * 1000,
+            )
+
+        # ---------- existing table: copy-on-write merge ----------
+        cur_version = self._current_version()
+        manifest = self._load_manifest(cur_version)
+        old_schema = T.StructType.fromJson(manifest["schema"])
+
+        affected = sorted(
+            r[_BUCKET] for r in winners.select(_BUCKET).distinct().collect()
+        )
+        affected_set = {str(b) for b in affected}
+
+        target_files = [
+            f for b, fl in manifest["files"].items() if b in affected_set for f in fl
+        ]
+        target = self._read_files(target_files, old_schema)
+
+        # schema evolution: merged schema, then align both sides
+        batch_schema = T.StructType(
+            [f for f in winners.schema.fields if f.name not in (self.op_col, _BUCKET)]
+        )
+        new_schema = _merge_schemas(old_schema, batch_schema)
+
+        def align(df: DataFrame, has_op: bool) -> DataFrame:
+            cols = []
+            for f in new_schema.fields:
+                if f.name in df.columns:
+                    cols.append(F.col(f.name).cast(f.dataType).alias(f.name))
+                else:
+                    cols.append(F.lit(None).cast(f.dataType).alias(f.name))
+            if has_op:
+                cols.append(F.col(self.op_col))
+            return df.select(*cols)
+
+        # 3. union + LWW: stored rows act as op='U' events at their own seq,
+        # so out-of-order/duplicate batches cannot regress the table
+        target_ev = align(target, has_op=False).withColumn(self.op_col, F.lit("U"))
+        merged = lww_latest(
+            align(winners, has_op=True).unionByName(target_ev),
+            self.key_cols,
+            self.order_cols,
+        )
+        live = merged.where(F.col(self.op_col) != "D").drop(self.op_col)
+        live = live.withColumn(_BUCKET, self._bucket_col(live))
+
+        commit_id = uuid.uuid4().hex[:12]
+        new_files = self._write_buckets(live, commit_id)
+
+        files = {b: fl for b, fl in manifest["files"].items() if b not in affected_set}
+        files.update(new_files)
+
+        stats_row = winners.agg(
+            F.count("*").alias("n"),
+            F.sum(F.when(F.col(self.op_col) == "D", 1).otherwise(0)).alias("d"),
+        ).first()
+        version = cur_version + 1
+        new_manifest = {
+            "version": version,
+            "parent_version": cur_version,
+            "schema": new_schema.jsonValue(),
+            "n_buckets": self.n_buckets,
+            "key_cols": self.key_cols,
+            "order_cols": self.order_cols,
+            "files": files,
+            "summary": {"operation": "merge", "batch-id": bid, **(summary or {})},
+        }
+        self._commit(new_manifest)
+        return MergeStats(
+            batch_id=bid, applied=True, rows_in=rows_in,
+            deletes=int(stats_row["d"] or 0), upserts=stats_row["n"] - int(stats_row["d"] or 0),
+            affected_buckets=[int(b) for b in affected], total_buckets=self.n_buckets,
+            snapshot_version=version, wall_ms=(time.time() - t0) * 1000,
+        )

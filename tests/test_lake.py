@@ -1,0 +1,131 @@
+"""SnapshotTable: COW merge, idempotent commits, schema evolution, time travel."""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import functions as F
+
+from arches_rascoll_etl_spark import oracle
+from arches_rascoll_etl_spark.lake.parquet_snapshot import SnapshotTable, _merge_schemas
+from arches_rascoll_etl_spark.synth import ChangeLogConfig, batch_events, change_log
+
+CFG = ChangeLogConfig(n_events=3_000, n_repos=8, paths_per_repo=80, n_batches=6, schema_add_batch=3)
+
+
+def _mk(spark, path, **kw):
+    return SnapshotTable(spark, path, n_buckets=8, **kw)
+
+
+def _state_set(df):
+    return {
+        tuple(r)
+        for r in df.select("repo", "path", "commit", "lang", F.sha2("content", 256)).collect()
+    }
+
+
+def test_merge_replay_matches_oracle(spark, tmp_table_dir):
+    tbl = _mk(spark, tmp_table_dir)
+    for b in range(CFG.n_batches):
+        tbl.merge(batch_events(spark, CFG, b), batch_id=f"b{b}")
+    events = [r.asDict() for r in change_log(spark, CFG).collect()]
+    assert _state_set(tbl.read()) == oracle.final_rows(events)
+
+
+def test_merge_idempotent_reapply(spark, tmp_table_dir):
+    tbl = _mk(spark, tmp_table_dir)
+    for b in range(3):
+        st = tbl.merge(batch_events(spark, CFG, b), batch_id=f"b{b}")
+        assert st.applied
+    v = tbl.current_version()
+    before = _state_set(tbl.read())
+    st = tbl.merge(batch_events(spark, CFG, 1), batch_id="b1")  # re-apply
+    assert not st.applied and st.skipped_reason == "already-committed"
+    assert tbl.current_version() == v
+    assert _state_set(tbl.read()) == before
+
+
+def test_out_of_order_batch_cannot_regress(spark, tmp_table_dir):
+    """Applying an older batch after a newer one must not clobber newer rows."""
+    tbl = _mk(spark, tmp_table_dir)
+    tbl.merge(batch_events(spark, CFG, 5), batch_id="b5")
+    after_new = _state_set(tbl.read())
+    tbl.merge(batch_events(spark, CFG, 0), batch_id="b0")
+    final = _state_set(tbl.read())
+    # every key present in b5's state must still carry its b5 (or later) commit
+    keys_new = {(t[0], t[1]): t for t in after_new}
+    keys_final = {(t[0], t[1]): t for t in final}
+    for k, t in keys_new.items():
+        assert keys_final[k] == t
+
+
+def test_schema_evolution_mid_stream(spark, tmp_table_dir):
+    tbl = _mk(spark, tmp_table_dir)
+    tbl.merge(batch_events(spark, CFG, 0), batch_id="b0")  # no author/size_bytes
+    assert "author" not in tbl.read().columns
+    tbl.merge(batch_events(spark, CFG, 4), batch_id="b4")  # evolved cols appear
+    cur = tbl.read()
+    assert {"author", "size_bytes"} <= set(cur.columns)
+    # old rows read as null for new cols; new rows populated
+    assert cur.where(F.col("author").isNotNull()).count() > 0
+    assert cur.where(F.col("author").isNull()).count() > 0
+
+
+def test_schema_widening():
+    from pyspark.sql import types as T
+
+    old = T.StructType([T.StructField("a", T.IntegerType()), T.StructField("b", T.StringType())])
+    new = T.StructType([T.StructField("a", T.LongType()), T.StructField("c", T.DoubleType())])
+    merged = _merge_schemas(old, new)
+    assert [f.name for f in merged.fields] == ["a", "b", "c"]
+    assert merged["a"].dataType.typeName() == "long"
+
+
+def test_time_travel_and_snapshots(spark, tmp_table_dir):
+    tbl = _mk(spark, tmp_table_dir)
+    tbl.merge(batch_events(spark, CFG, 0), batch_id="b0")
+    v0_state = _state_set(tbl.read())
+    tbl.merge(batch_events(spark, CFG, 1), batch_id="b1")
+    assert tbl.current_version() == 1
+    assert _state_set(tbl.read(version=0)) == v0_state
+    snaps = tbl.snapshots()
+    assert [s["summary"]["batch-id"] for s in snaps] == ["b0", "b1"]
+
+
+def test_cow_only_rewrites_affected_buckets(spark, tmp_table_dir):
+    tbl = _mk(spark, tmp_table_dir)
+    tbl.merge(batch_events(spark, CFG, 0), batch_id="b0")
+    m0 = tbl._load_manifest(0)
+    # a single-key batch touches exactly one bucket; others keep their files
+    one = spark.createDataFrame(
+        [("org/solo", "a.py", 999_999, "c", "U", "x")],
+        "repo string, path string, commit_seq long, commit string, op string, content string",
+    )
+    tbl.merge(one, batch_id="solo")
+    m1 = tbl._load_manifest(1)
+    changed = [b for b in m0["files"] if m0["files"][b] != m1["files"].get(b)]
+    assert len(changed) <= 1
+    untouched = [b for b in m0["files"] if b not in changed]
+    for b in untouched:
+        assert m1["files"][b] == m0["files"][b]
+
+
+def test_crash_before_pointer_swap_preserves_snapshot(spark, tmp_table_dir):
+    """A manifest written without the _current swap must be invisible."""
+    tbl = _mk(spark, tmp_table_dir)
+    tbl.merge(batch_events(spark, CFG, 0), batch_id="b0")
+    state = _state_set(tbl.read())
+    # simulate: next commit wrote its manifest but crashed before os.replace
+    orphan = dict(tbl._load_manifest(0), version=1, parent_version=0,
+                  summary={"operation": "merge", "batch-id": "ghost"})
+    with open(tbl._manifest_path(1), "w") as f:
+        json.dump(orphan, f)
+    tbl2 = _mk(spark, tmp_table_dir)
+    assert tbl2.current_version() == 0
+    assert _state_set(tbl2.read()) == state
+    assert "ghost" not in tbl2.committed_batch_ids()
+    # recovery: the next real merge reuses version 1 and commits atomically
+    st = tbl2.merge(batch_events(spark, CFG, 1), batch_id="b1")
+    assert st.applied and tbl2.current_version() == 1
+    assert tbl2._load_manifest(1)["summary"]["batch-id"] == "b1"
