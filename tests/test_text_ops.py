@@ -1,0 +1,184 @@
+"""Text functions, dedup, similarity, multimodal plumbing, mapping DSL."""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from arches_rascoll_etl_spark.functions import text as TX
+from arches_rascoll_etl_spark.functions import textstats as TS
+from arches_rascoll_etl_spark.operators import dedup, multimodal, similarity
+from arches_rascoll_etl_spark.plans.mapping import FieldMapping, MappingSpec
+
+
+def test_scalar_functions(spark):
+    df = spark.createDataFrame([(" fire safety.0 ", "Athens", "http://x/1", 23.7, 37.9)],
+                               "label string, place string, uri string, lon double, lat double")
+    r = df.select(
+        TX.normalize_label("label").alias("norm"),
+        TX.lang_dict_json("place").alias("ld"),
+        TX.statement_text("place", "uri").alias("st"),
+        TX.geojson_point_json("lon", "lat").alias("geo"),
+        TX.synth_name("Acquisition of Barcode ", F.lit(" 1234.0 ")).alias("nm"),
+    ).first()
+    assert r.norm == "FIRE SAFETY"
+    assert r.ld == '{"en": {"value": "Athens", "direction": "ltr"}}'
+    assert r.st == "Athens (URI: http://x/1)"
+    assert r.geo == '{"type": "Point", "coordinates": [23.7, 37.9]}'
+    assert r.nm == "Acquisition of Barcode 1234"
+
+
+def test_textstats(spark):
+    df = spark.createDataFrame(
+        [(1, "the cat sat on the mat, and the dog."), (2, "le chat et le chien et les poissons"), (3, "")],
+        "id long, text string",
+    )
+    rows = {r.id: r for r in df.select(
+        "id",
+        TS.token_count("text").alias("toks"),
+        TS.lang_guess("text").alias("lang"),
+        TS.punct_count("text").alias("punct"),
+        TS.fingerprint("text").alias("fp"),
+        TS.rolling_hash_udf("text").alias("rh"),
+    ).collect()}
+    assert rows[1].toks == 9 and rows[1].lang == "en" and rows[1].punct == 2
+    assert rows[2].lang == "fr"
+    assert rows[3].toks == 0 and rows[3].lang == "und"
+    # rolling hash matches a reference computation
+    MOD, BASE, h = (1 << 61) - 1, 257, 0
+    for b in b"the cat sat on the mat, and the dog.":
+        h = (h * BASE + b) % MOD
+    assert rows[1].rh == h
+    # fingerprint is whitespace/case-insensitive
+    df2 = spark.createDataFrame([("THE  cat sat on   the mat, and the dog. ",)], "text string")
+    assert df2.select(TS.fingerprint("text")).first()[0] == rows[1].fp
+
+
+def test_exact_dedup_and_fingerprint(spark):
+    df = spark.createDataFrame(
+        [(1, "aaa"), (2, "bbb"), (3, "aaa"), (4, "aaa")], "id long, text string"
+    )
+    out = {r.digest: r for r in dedup.exact_dedup(df, "text", "id").collect()}
+    assert len(out) == 2
+    dups = [r for r in out.values() if r.n_dups == 3][0]
+    assert dups.keep_id == 1
+
+
+def test_minhash_lsh_finds_near_dups(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again in the park"
+    rows = [
+        (1, base),
+        (2, base + " today"),          # near-dup of 1
+        (3, "completely different content about spark query engines and shuffles"),
+        (4, base.replace("quick", "slow")),  # near-dup of 1
+    ]
+    df = spark.createDataFrame(rows, "id long, text string")
+    pairs = {(r.id_a, r.id_b) for r in dedup.lsh_candidate_pairs(df, "id", "text", n_hashes=16, bands=8).collect()}
+    assert (1, 2) in pairs
+    assert all(3 not in p for p in pairs)
+
+
+def test_ngram_jaccard_pairs(spark):
+    rows = [
+        (1, "a b c d e f g h"),
+        (2, "a b c d e f g x"),
+        (3, "z y x w v u t s"),
+    ]
+    df = spark.createDataFrame(rows, "id long, text string")
+    out = {(r.id_a, r.id_b): r.jaccard for r in dedup.ngram_jaccard_pairs(df, "id", "text", k_words=2, threshold=0.3).collect()}
+    assert (1, 2) in out and 0.4 < out[(1, 2)] < 0.9
+    assert not any(3 in k for k in out)
+
+
+def _simhash_ref(text: str) -> int:
+    """Independent reference implementation (plain Python loops)."""
+    import hashlib
+
+    toks = text.split()
+    votes = [0] * 64
+    for t in toks:
+        h = int.from_bytes(hashlib.blake2b(t.encode(), digest_size=8).digest(), "big")
+        for b in range(64):
+            votes[63 - b] += 1 if (h >> b) & 1 else -1
+    fp = 0
+    for v in votes:
+        fp = (fp << 1) | (1 if v > 0 else 0)
+    return fp - (1 << 64) if fp >= (1 << 63) else fp
+
+
+def test_simhash_matches_reference_and_finds_exact_dups(spark):
+    base = " ".join(f"tok{i}" for i in range(40))
+    rows = [(1, base), (2, base), (3, " ".join(f"other{i}" for i in range(40)))]
+    df = spark.createDataFrame(rows, "id long, text string")
+    got = {r.id: r.sim for r in df.select("id", dedup.simhash64_udf("text").alias("sim")).collect()}
+    assert got[1] == _simhash_ref(base)
+    assert got[3] == _simhash_ref(" ".join(f"other{i}" for i in range(40)))
+    pairs = {(r.id_a, r.id_b): r.hamming for r in dedup.simhash_neardup_pairs(df, "id", "text", max_hamming=3).collect()}
+    assert pairs == {(1, 2): 0}
+
+
+def test_cosine_topk_exact_vs_numpy(spark):
+    rs = np.random.RandomState(7)
+    vecs = rs.normal(size=(20, 8)).astype(np.float32)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(20)], "vec_id long, embedding array<float>"
+    )
+    queries = df.where(F.col("vec_id") < 2)
+    out = similarity.cosine_topk_bruteforce(df, queries, k=3).collect()
+    norm = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    sims = norm @ norm.T
+    for qid in (0, 1):
+        got = [r.match_id for r in sorted((r for r in out if r.query_id == qid), key=lambda r: r.rank)]
+        expect = [int(j) for j in np.argsort(-sims[qid]) if j != qid][:3]
+        assert got == expect
+
+
+def test_lsh_topk_subset_of_bucket(spark):
+    rs = np.random.RandomState(7)
+    vecs = rs.normal(size=(30, 8))
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(30)], "vec_id long, embedding array<float>"
+    )
+    out = similarity.hyperplane_lsh_topk(df, df.where("vec_id < 3"), dim=8, k=3, n_planes=2).collect()
+    assert all(r.cos_sim <= 1.000001 for r in out)
+    assert {r.query_id for r in out} <= {0, 1, 2}
+
+
+def test_multimodal_plumbing(spark):
+    media = multimodal.synth_media(spark, 12)
+    feats = multimodal.image_features(media).collect()
+    assert len(feats) == 12
+    assert all(len(r.feature) == 8 for r in feats)
+    assert all(r.payload_bytes == 64 for r in feats)  # sha2-512 hex → 64 raw bytes
+    frames = multimodal.sample_frames(media, every_n=4, max_frames=3).collect()
+    assert {r.frame_idx for r in frames} == {0, 1, 2}
+    # deterministic across runs
+    again = multimodal.image_features(media).collect()
+    assert [r.feature for r in again] == [r.feature for r in feats]
+
+
+def test_mapping_spec_compiles_to_plan(spark):
+    df = spark.createDataFrame(
+        [("i1", 2, "Athens ", "fire.0", None), ("i1", 1, "Old", "x", None), ("i2", 1, None, None, None)],
+        "pk string, seq long, place string, label string, note string",
+    )
+    spec = MappingSpec(
+        name="place_staging",
+        key=("pk",),
+        fields=(
+            FieldMapping("place", "place_name", "trim"),
+            FieldMapping("place", "place_lang", "lang_dict_json"),
+            FieldMapping("label", "label_norm", "normalize_label"),
+        ),
+        constants={"graphid": "g-123"},
+        minted_ids={"tileid": ("pk", "seq")},
+        require_any=("place", "label"),
+        lww_order=("seq",),
+    )
+    out = {r.pk: r for r in spec.compile(df).collect()}
+    assert set(out) == {"i1"}  # i2 dropped by require_any; i1 LWW-collapsed to seq=2
+    assert out["i1"].place_name == "Athens"
+    assert out["i1"].label_norm == "FIRE"
+    assert out["i1"].graphid == "g-123"
+    import uuid as _uuid
+    _uuid.UUID(out["i1"].tileid)  # valid minted uuid
