@@ -241,20 +241,38 @@ class SnapshotTable(LakeTable):
             return MergeStats(batch_id=bid, applied=False, skipped_reason="already-committed",
                               total_buckets=self.n_buckets)
 
-        # 1. collapse batch to per-key winners (skew-immune hash agg)
-        rows_in = batch.count()  # count-star: metadata-only for parquet sources
-        winners = lww_latest(batch, self.key_cols, self.order_cols)
-        winners = winners.withColumn(_BUCKET, self._bucket_col(winners))
+        # 1. collapse batch to per-key winners (skew-immune hash agg); the
+        # same pass also counts collapsed events per key, so stats below need
+        # no second scan of the batch
+        winners = lww_latest(batch, self.key_cols, self.order_cols, count_alias="_n_events")
+        winners = winners.withColumn(_BUCKET, self._bucket_col(winners)).persist()
+        try:
+            return self._merge_winners(winners, bid, summary, t0)
+        finally:
+            winners.unpersist()
+
+    def _merge_winners(self, winners: DataFrame, bid: str, summary: dict | None, t0: float) -> MergeStats:
+        # single job: per-bucket stats → affected buckets + rows_in + deletes
+        bucket_rows = (
+            winners.groupBy(_BUCKET)
+            .agg(
+                F.sum("_n_events").alias("n_events"),
+                F.count("*").alias("n_keys"),
+                F.sum(F.when(F.col(self.op_col) == "D", 1).otherwise(0)).alias("n_del"),
+            )
+            .collect()
+        )
+        rows_in = int(sum(r["n_events"] for r in bucket_rows))
+        n_keys = int(sum(r["n_keys"] for r in bucket_rows))
+        n_del = int(sum(r["n_del"] for r in bucket_rows))
+        affected = sorted(int(r[_BUCKET]) for r in bucket_rows)
+        affected_set = {str(b) for b in affected}
+        winners = winners.drop("_n_events")
 
         if not self.exists():
             live = winners.where(F.col(self.op_col) != "D").drop(self.op_col)
-            stats_row = winners.agg(
-                F.count("*").alias("n"),
-                F.sum(F.when(F.col(self.op_col) == "D", 1).otherwise(0)).alias("d"),
-            ).first()
-            data = live.withColumn(_BUCKET, self._bucket_col(live))
             commit_id = uuid.uuid4().hex[:12]
-            files = self._write_buckets(data, commit_id)
+            files = self._write_buckets(live, commit_id)
             manifest = {
                 "version": 0,
                 "parent_version": None,
@@ -268,7 +286,7 @@ class SnapshotTable(LakeTable):
             self._commit(manifest)
             return MergeStats(
                 batch_id=bid, applied=True, rows_in=rows_in,
-                deletes=int(stats_row["d"] or 0), upserts=stats_row["n"] - int(stats_row["d"] or 0),
+                deletes=n_del, upserts=n_keys - n_del,
                 affected_buckets=sorted(int(b) for b in files), total_buckets=self.n_buckets,
                 snapshot_version=0, wall_ms=(time.time() - t0) * 1000,
             )
@@ -277,11 +295,6 @@ class SnapshotTable(LakeTable):
         cur_version = self._current_version()
         manifest = self._load_manifest(cur_version)
         old_schema = T.StructType.fromJson(manifest["schema"])
-
-        affected = sorted(
-            r[_BUCKET] for r in winners.select(_BUCKET).distinct().collect()
-        )
-        affected_set = {str(b) for b in affected}
 
         target_files = [
             f for b, fl in manifest["files"].items() if b in affected_set for f in fl
@@ -322,10 +335,6 @@ class SnapshotTable(LakeTable):
         files = {b: fl for b, fl in manifest["files"].items() if b not in affected_set}
         files.update(new_files)
 
-        stats_row = winners.agg(
-            F.count("*").alias("n"),
-            F.sum(F.when(F.col(self.op_col) == "D", 1).otherwise(0)).alias("d"),
-        ).first()
         version = cur_version + 1
         new_manifest = {
             "version": version,
@@ -340,7 +349,7 @@ class SnapshotTable(LakeTable):
         self._commit(new_manifest)
         return MergeStats(
             batch_id=bid, applied=True, rows_in=rows_in,
-            deletes=int(stats_row["d"] or 0), upserts=stats_row["n"] - int(stats_row["d"] or 0),
-            affected_buckets=[int(b) for b in affected], total_buckets=self.n_buckets,
+            deletes=n_del, upserts=n_keys - n_del,
+            affected_buckets=affected, total_buckets=self.n_buckets,
             snapshot_version=version, wall_ms=(time.time() - t0) * 1000,
         )

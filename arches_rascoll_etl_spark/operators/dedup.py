@@ -86,6 +86,30 @@ def minhash_signature(col: Column | str, k_shingles: int = 5, n_hashes: int = 16
     return F.array(*mins)
 
 
+def minhash_table(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k_shingles: int = 5,
+    n_hashes: int = 16,
+) -> DataFrame:
+    """(id, mh0..mh{n-1}) via explode + hash-agg of mins.
+
+    Scale path: the higher-order-function formulation
+    (``minhash_signature``) evaluates its lambdas interpreted, per element;
+    this one keeps every md5 inside whole-stage codegen and gets map-side
+    partial aggregation (per-partition per-doc mins) before the shuffle.
+    Duplicate shingles need no dedup — min() is multiset-invariant."""
+    base = df.select(
+        F.col(id_col).alias("_id"), F.explode(shingles(text_col, k_shingles)).alias("_sh")
+    )
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("_sh")))).alias(f"mh{i}")
+        for i in range(n_hashes)
+    ]
+    return base.groupBy("_id").agg(*aggs)
+
+
 def lsh_candidate_pairs(
     df: DataFrame,
     id_col: str,
@@ -99,17 +123,14 @@ def lsh_candidate_pairs(
     band key; hot bands (boilerplate-heavy corpora) are handled by AQE skew
     split since the join is a self-equi-join on band_key."""
     rows_per_band = n_hashes // bands
-    sig = df.select(
-        _c(id_col).alias("_id"),
-        minhash_signature(text_col, k_shingles, n_hashes).alias("_sig"),
-    )
+    sig = minhash_table(df, id_col, text_col, k_shingles, n_hashes)
     banded = sig.select(
         "_id",
         F.explode(
             F.array(*[
                 F.struct(
                     F.lit(b).alias("band"),
-                    F.concat_ws("\x1f", *[F.element_at("_sig", b * rows_per_band + r + 1) for r in range(rows_per_band)]).alias("band_sig"),
+                    F.concat_ws("\x1f", *[F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)]).alias("band_sig"),
                 )
                 for b in range(bands)
             ])

@@ -45,16 +45,28 @@ def _ord_struct(df: DataFrame, keys: Sequence[str], order_cols: Sequence[str]) -
     )
 
 
-def lww_latest(df: DataFrame, keys: Sequence[str], order_cols: Sequence[str]) -> DataFrame:
+def lww_latest(
+    df: DataFrame,
+    keys: Sequence[str],
+    order_cols: Sequence[str],
+    count_alias: str | None = None,
+) -> DataFrame:
     """Keep, per key, the row with the greatest (order_cols...) tuple.
 
     Implemented as ``max`` of a struct whose leading fields are the ordering
     columns — struct comparison is lexicographic, so the max carries the
     winning row's payload. One shuffle on ``keys`` with map-side combine.
+
+    ``count_alias``: also emit the number of collapsed events per key in the
+    same aggregation pass (free lineage — no second scan).
     """
     keys = list(keys)
-    out = df.groupBy(*keys).agg(F.max(_ord_struct(df, keys, order_cols)).alias(_ORD))
-    return out.select(*keys, f"{_ORD}.{_PAYLOAD}.*")
+    aggs = [F.max(_ord_struct(df, keys, order_cols)).alias(_ORD)]
+    if count_alias:
+        aggs.append(F.count("*").alias(count_alias))
+    out = df.groupBy(*keys).agg(*aggs)
+    extra = [count_alias] if count_alias else []
+    return out.select(*keys, f"{_ORD}.{_PAYLOAD}.*", *extra)
 
 
 def lww_window(df: DataFrame, keys: Sequence[str], order_cols: Sequence[str]) -> DataFrame:

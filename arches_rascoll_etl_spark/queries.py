@@ -578,14 +578,7 @@ def q27(spark, sf):
     """MinHash signatures (k=8 char shingles, 4 hashes) — the LSH building
     block, byte-identical to the SQL oracle."""
     d = _t(spark, sf, "documents")
-    sig = dedup.minhash_signature("text", k_shingles=8, n_hashes=4)
-    return d.select(
-        "doc_id",
-        F.element_at(sig, 1).alias("mh0"),
-        F.element_at(sig, 2).alias("mh1"),
-        F.element_at(sig, 3).alias("mh2"),
-        F.element_at(sig, 4).alias("mh3"),
-    )
+    return dedup.minhash_table(d, "doc_id", "text", k_shingles=8, n_hashes=4).withColumnRenamed("_id", "doc_id")
 
 
 @query(

@@ -1,0 +1,82 @@
+"""CDC replay throughput bench — one parallelism level per process.
+
+Replays a pre-generated change-log parquet (partitioned by batch_id) into a
+fresh SnapshotTable and reports events/sec. Run at two parallelism levels
+(local[N] vs local[4N]) on the *same input files* to evidence the
+north-rule scaling criterion (sandbox stand-in for N vs 4N executors).
+
+Usage: python -m arches_rascoll_etl_spark.replay_bench \
+         --cores 8 --events /path/events_parquet --workdir /tmp/x --out r.json
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import time
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--cores", type=int, required=True)
+    ap.add_argument("--events", required=True)
+    ap.add_argument("--workdir", required=True)
+    ap.add_argument("--out", required=True)
+    ap.add_argument("--n-batches", type=int, default=4)
+    ap.add_argument("--n-buckets", type=int, default=64)
+    args = ap.parse_args()
+
+    from pyspark.sql import functions as F
+
+    from .lake.parquet_snapshot import SnapshotTable
+    from .session import get_spark
+    from .streaming.checkpoint import Checkpoint
+    from .streaming.pipeline import replay
+
+    spark = get_spark(
+        app_name=f"replay-bench-{args.cores}",
+        cores=args.cores,
+        shuffle_partitions=max(args.cores * 2, 16),
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    events = spark.read.parquet(args.events)
+    n_events = events.count()
+
+    shutil.rmtree(args.workdir, ignore_errors=True)
+    tbl = SnapshotTable(spark, os.path.join(args.workdir, "tbl"), n_buckets=args.n_buckets)
+    ckpt = Checkpoint(os.path.join(args.workdir, "ckpt.json"))
+
+    def provider(b: int):
+        # partition pruning on batch_id=<b> subdirectory
+        df = events.where(F.col("batch_id") == b)
+        # normalize stage: content sha + deterministic row id (vectorized)
+        return df.withColumn("content_sha", F.sha2("content", 256)).withColumn(
+            "row_key", F.sha2(F.concat_ws("|", "repo", "path"), 256)
+        )
+
+    # warm the JVM/codegen outside the timed window
+    provider(0).limit(1).count()
+
+    t0 = time.time()
+    res = replay(tbl, ckpt, provider, range(args.n_batches), collect_partition_lineage=False)
+    wall = time.time() - t0
+
+    out = {
+        "cores": args.cores,
+        "events": n_events,
+        "batches": args.n_batches,
+        "wall_sec": round(wall, 3),
+        "events_per_sec": round(n_events / wall, 1),
+        "final_rows": tbl.read().count(),
+        "snapshots": len(tbl.snapshots()),
+    }
+    with open(args.out, "w") as f:
+        json.dump(out, f)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -6,6 +6,8 @@ pandas-UDF paths); tests/bench override parallelism via ``cores``.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import SparkSession
 
 
@@ -33,9 +35,12 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         # deterministic parquet output (no summary files, stable committer)
         .config("spark.sql.parquet.compression.codec", "snappy")
-        .config("spark.driver.memory", "8g")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
     )
+    local_dir = os.environ.get("SPARK_GRAFT_LOCAL_DIR")
+    if local_dir:
+        builder = builder.config("spark.local.dir", local_dir)
     from pyspark import SparkConf
 
     if SparkConf().get("spark.master", None) is None:

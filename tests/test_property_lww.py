@@ -1,0 +1,62 @@
+"""Property-based: random event logs (dup/delete/schema-add shapes) vs the
+pure-Python oracle. hypothesis generates the log; Spark replays it."""
+
+from __future__ import annotations
+
+import hashlib
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from arches_rascoll_etl_spark import oracle
+from arches_rascoll_etl_spark.operators import lww
+
+_spark = None
+
+
+def _get_spark():
+    global _spark
+    if _spark is None:
+        from arches_rascoll_etl_spark.session import get_spark
+
+        _spark = get_spark(app_name="prop-tests", cores=4, shuffle_partitions=4)
+        _spark.sparkContext.setLogLevel("ERROR")
+    return _spark
+
+
+event_st = st.fixed_dictionaries(
+    {
+        "repo": st.sampled_from(["r0", "r1", "r2"]),
+        "path": st.sampled_from(["a", "b", "c", "d"]),
+        "commit_seq": st.integers(min_value=0, max_value=50),
+        "op": st.sampled_from(["I", "U", "U", "D"]),
+        "content": st.text(alphabet="xyz ", min_size=0, max_size=8),
+    }
+)
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+@given(st.lists(event_st, min_size=1, max_size=60))
+def test_lww_replay_matches_oracle_random_logs(events):
+    spark = _get_spark()
+    # commit = deterministic hash, as in the real log (also the seq tiebreak)
+    for e in events:
+        e["commit"] = hashlib.sha1(
+            f"{e['repo']}|{e['path']}|{e['commit_seq']}|{e['content']}".encode()
+        ).hexdigest()
+    df = spark.createDataFrame(
+        [(e["repo"], e["path"], e["commit_seq"], e["commit"], e["op"], e["content"]) for e in events],
+        "repo string, path string, commit_seq long, commit string, op string, content string",
+    )
+    got = {
+        tuple(r)
+        for r in lww.final_state(df)
+        .select("repo", "path", "commit", F.sha2("content", 256))
+        .collect()
+    }
+    want = {
+        (t[0], t[1], t[2], t[3])
+        for t in oracle.final_rows(events, cols=("repo", "path", "commit"), hash_content=True)
+    }
+    assert got == want
