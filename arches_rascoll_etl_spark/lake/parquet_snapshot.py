@@ -30,9 +30,14 @@ Merge algorithm (one shuffle, skew-tolerant):
    — a hot repo costs O(num_partitions), not O(events); see operators.lww);
 2. compute affected buckets from winners (tiny distinct collect, ≤ n_buckets
    values);
-3. union(target rows of affected buckets, winners) → LWW again → winners
-   minus tombstones. Out-of-order batches are therefore safe: an event older
-   than the stored row loses to it instead of clobbering it;
+3. union(target rows of affected buckets, winners) → LWW again. Out-of-order
+   batches are therefore safe: an event older than the stored row loses to
+   it instead of clobbering it. **Tombstones are retained** (stored with
+   ``op='D'``, filtered out by ``read``): a delete at seq 10 applied in one
+   micro-batch must keep beating an insert at seq 5 that arrives in a later
+   micro-batch — dropping the tombstone would resurrect the row. Tombstones
+   are expired by :meth:`SnapshotTable.compact` once a seq watermark
+   guarantees no older event can still arrive;
 4. write rewritten buckets partitioned by bucket dir; new manifest = old
    file lists for untouched buckets + new file lists for rewritten ones.
 """
@@ -164,6 +169,14 @@ class SnapshotTable(LakeTable):
 
     # ---------- read ----------
 
+    def _stored_schema(self, logical: T.StructType) -> T.StructType:
+        """On-disk schema = logical schema + the op column (tombstone marker).
+        Files written before tombstone retention (overwrite snapshots) lack
+        the column and read as null, which readers coalesce to 'U'."""
+        if self.op_col in logical.fieldNames():
+            return logical
+        return T.StructType(list(logical.fields) + [T.StructField(self.op_col, T.StringType(), True)])
+
     def _read_files(self, files: list[str], schema: T.StructType) -> DataFrame:
         if not files:
             return self.spark.createDataFrame([], schema)
@@ -173,11 +186,20 @@ class SnapshotTable(LakeTable):
         return self.spark.read.schema(schema).parquet(*paths)
 
     def read(self, version: int | None = None) -> DataFrame:
+        """Live rows of a snapshot: stored rows minus tombstones."""
+        return (
+            self._read_stored(version)
+            .where(F.coalesce(F.col(self.op_col), F.lit("U")) != "D")
+            .drop(self.op_col)
+        )
+
+    def _read_stored(self, version: int | None = None) -> DataFrame:
+        """All stored rows of a snapshot, tombstones included, with op."""
         v = self._current_version() if version is None else version
         if v is None:
             raise FileNotFoundError(f"table {self.path} has no snapshots")
         m = self._load_manifest(v)
-        schema = T.StructType.fromJson(m["schema"])
+        schema = self._stored_schema(T.StructType.fromJson(m["schema"]))
         files = [f for bucket_files in m["files"].values() for f in bucket_files]
         return self._read_files(files, schema)
 
@@ -234,6 +256,63 @@ class SnapshotTable(LakeTable):
         self._commit(manifest)
         return version
 
+    def compact(self, tombstone_watermark=None, summary: dict | None = None) -> int:
+        """Expire retained tombstones — the GC pass that keeps tombstone
+        retention bounded at scale.
+
+        Drops stored ``op='D'`` rows whose first ordering column is <= the
+        watermark: a seq below which the source guarantees no out-of-order
+        event can still arrive (the batch analogue of a streaming watermark).
+        ``None`` drops every tombstone (caller asserts the log is fully
+        applied). Rewrites only buckets holding expirable tombstones; returns
+        the new snapshot version (current version if nothing expired).
+        """
+        cur = self._current_version()
+        if cur is None:
+            raise FileNotFoundError(f"table {self.path} has no snapshots")
+        m = self._load_manifest(cur)
+        schema = T.StructType.fromJson(m["schema"])
+
+        def expired(df: DataFrame):
+            cond = F.coalesce(F.col(self.op_col), F.lit("U")) == "D"
+            if tombstone_watermark is not None:
+                cond = cond & (F.col(self.order_cols[0]) <= F.lit(tombstone_watermark))
+            return cond
+
+        stored = self._read_stored(cur)
+        tomb_buckets = {
+            str(r[0])
+            for r in stored.where(expired(stored))
+            .select(self._bucket_col(stored).alias(_BUCKET))
+            .distinct()
+            .collect()
+        }
+        if not tomb_buckets:
+            return cur
+
+        files = [f for b, fl in m["files"].items() if b in tomb_buckets for f in fl]
+        part = self._read_files(files, self._stored_schema(schema))
+        keep = part.where(~expired(part))
+        keep = keep.withColumn(_BUCKET, self._bucket_col(keep))
+        commit_id = uuid.uuid4().hex[:12]
+        new_files = self._write_buckets(keep, commit_id)
+        files_map = {b: fl for b, fl in m["files"].items() if b not in tomb_buckets}
+        files_map.update(new_files)
+        version = cur + 1
+        self._commit(
+            {
+                "version": version,
+                "parent_version": cur,
+                "schema": m["schema"],
+                "n_buckets": self.n_buckets,
+                "key_cols": self.key_cols,
+                "order_cols": self.order_cols,
+                "files": files_map,
+                "summary": {"operation": "compact", **(summary or {})},
+            }
+        )
+        return version
+
     def merge(self, batch: DataFrame, batch_id: str, summary: dict | None = None) -> MergeStats:
         t0 = time.time()
         bid = str(batch_id)
@@ -270,13 +349,14 @@ class SnapshotTable(LakeTable):
         winners = winners.drop("_n_events")
 
         if not self.exists():
-            live = winners.where(F.col(self.op_col) != "D").drop(self.op_col)
+            # tombstones are stored too: a delete in this batch must survive
+            # to beat lower-seq events arriving in later (out-of-order) batches
             commit_id = uuid.uuid4().hex[:12]
-            files = self._write_buckets(live, commit_id)
+            files = self._write_buckets(winners, commit_id)
             manifest = {
                 "version": 0,
                 "parent_version": None,
-                "schema": live.drop(_BUCKET).schema.jsonValue(),
+                "schema": winners.drop(_BUCKET, self.op_col).schema.jsonValue(),
                 "n_buckets": self.n_buckets,
                 "key_cols": self.key_cols,
                 "order_cols": self.order_cols,
@@ -299,7 +379,7 @@ class SnapshotTable(LakeTable):
         target_files = [
             f for b, fl in manifest["files"].items() if b in affected_set for f in fl
         ]
-        target = self._read_files(target_files, old_schema)
+        target = self._read_files(target_files, self._stored_schema(old_schema))
 
         # schema evolution: merged schema, then align both sides
         batch_schema = T.StructType(
@@ -318,19 +398,21 @@ class SnapshotTable(LakeTable):
                 cols.append(F.col(self.op_col))
             return df.select(*cols)
 
-        # 3. union + LWW: stored rows act as op='U' events at their own seq,
-        # so out-of-order/duplicate batches cannot regress the table
-        target_ev = align(target, has_op=False).withColumn(self.op_col, F.lit("U"))
+        # 3. union + LWW: stored rows (incl. retained tombstones) re-enter the
+        # merge as events at their own seq, so out-of-order/duplicate batches
+        # cannot regress the table; pre-tombstone overwrite files read op=null
+        target_ev = align(target, has_op=True).withColumn(
+            self.op_col, F.coalesce(F.col(self.op_col), F.lit("U"))
+        )
         merged = lww_latest(
             align(winners, has_op=True).unionByName(target_ev),
             self.key_cols,
             self.order_cols,
         )
-        live = merged.where(F.col(self.op_col) != "D").drop(self.op_col)
-        live = live.withColumn(_BUCKET, self._bucket_col(live))
+        stored = merged.withColumn(_BUCKET, self._bucket_col(merged))
 
         commit_id = uuid.uuid4().hex[:12]
-        new_files = self._write_buckets(live, commit_id)
+        new_files = self._write_buckets(stored, commit_id)
 
         files = {b: fl for b, fl in manifest["files"].items() if b not in affected_set}
         files.update(new_files)

@@ -111,6 +111,38 @@ def test_cow_only_rewrites_affected_buckets(spark, tmp_table_dir):
         assert m1["files"][b] == m0["files"][b]
 
 
+def test_tombstones_survive_out_of_order_then_compact(spark, tmp_table_dir):
+    """A delete must beat a lower-seq event arriving in a LATER batch, and
+    compact() must expire tombstones without changing the live state."""
+    tbl = _mk(spark, tmp_table_dir)
+    schema = (
+        "repo string, path string, commit_seq long, commit string, op string,"
+        " lang string, content string"
+    )
+    tbl.merge(
+        spark.createDataFrame([("r", "f.py", 10, "c10", "D", "py", "")], schema),
+        batch_id="late",
+    )
+    # straggler insert at seq 5 arrives after the delete at seq 10
+    tbl.merge(
+        spark.createDataFrame([("r", "f.py", 5, "c05", "I", "py", "old")], schema),
+        batch_id="early",
+    )
+    assert tbl.read().where("repo = 'r' and path = 'f.py'").count() == 0
+    assert tbl._read_stored().where("op = 'D'").count() == 1
+
+    # watermark below the tombstone's seq: nothing expires
+    v = tbl.current_version()
+    assert tbl.compact(tombstone_watermark=9) == v
+    assert tbl._read_stored().where("op = 'D'").count() == 1
+
+    live_before = _state_set(tbl.read())
+    new_v = tbl.compact(tombstone_watermark=10)
+    assert new_v == v + 1
+    assert tbl._read_stored().where("op = 'D'").count() == 0
+    assert _state_set(tbl.read()) == live_before
+
+
 def test_crash_before_pointer_swap_preserves_snapshot(spark, tmp_table_dir):
     """A manifest written without the _current swap must be invisible."""
     tbl = _mk(spark, tmp_table_dir)
