@@ -206,18 +206,26 @@ class SnapshotTable(LakeTable):
     # ---------- write ----------
 
     def _bucket_col(self, df: DataFrame):
-        return F.pmod(
-            F.xxhash64(F.concat_ws("\x1f", *[F.col(k) for k in self.key_cols])),
-            F.lit(self.n_buckets),
-        ).cast("int")
+        """Bucket id = pmod(murmur3(key_cols), n_buckets) — deliberately the
+        exact expression of Spark's ``HashPartitioning``, so that
+        ``repartition(n_buckets, *key_cols)`` co-locates each bucket on
+        exactly one task: bucket id == partition id. Downstream groupBy on
+        the keys then reuses that partitioning (no second shuffle), and the
+        bucketed write needs no repartition of its own."""
+        return F.pmod(F.hash(*[F.col(k) for k in self.key_cols]), F.lit(self.n_buckets)).cast("int")
 
-    def _write_buckets(self, df: DataFrame, commit_id: str) -> dict[str, list[str]]:
+    def _write_buckets(
+        self, df: DataFrame, commit_id: str, pre_partitioned: bool = False
+    ) -> dict[str, list[str]]:
         """Write df (with _bucket col) partitioned by bucket; return
-        bucket -> [relative file paths]."""
+        bucket -> [relative file paths]. ``pre_partitioned``: caller already
+        holds HashPartitioning(key_cols, n_buckets) — skip the exchange; each
+        task then writes exactly one bucket directory (one file per bucket)."""
         out_dir = os.path.join(self.path, "data", commit_id)
+        if not pre_partitioned:
+            df = df.repartition(self.n_buckets, *[F.col(k) for k in self.key_cols])
         (
-            df.repartition(F.col(_BUCKET))
-            .write.partitionBy(_BUCKET)
+            df.write.partitionBy(_BUCKET)
             .mode("overwrite")
             .parquet(out_dir)
         )
@@ -400,19 +408,24 @@ class SnapshotTable(LakeTable):
 
         # 3. union + LWW: stored rows (incl. retained tombstones) re-enter the
         # merge as events at their own seq, so out-of-order/duplicate batches
-        # cannot regress the table; pre-tombstone overwrite files read op=null
+        # cannot regress the table; pre-tombstone overwrite files read op=null.
+        # One explicit repartition into exactly n_buckets partitions keyed on
+        # key_cols serves BOTH the LWW groupBy (clustering satisfied — no agg
+        # shuffle) and the bucketed write (partition id == bucket id — no
+        # write shuffle): the whole apply stage costs a single exchange.
         target_ev = align(target, has_op=True).withColumn(
             self.op_col, F.coalesce(F.col(self.op_col), F.lit("U"))
         )
-        merged = lww_latest(
-            align(winners, has_op=True).unionByName(target_ev),
-            self.key_cols,
-            self.order_cols,
+        unioned = (
+            align(winners, has_op=True)
+            .unionByName(target_ev)
+            .repartition(self.n_buckets, *[F.col(k) for k in self.key_cols])
         )
+        merged = lww_latest(unioned, self.key_cols, self.order_cols)
         stored = merged.withColumn(_BUCKET, self._bucket_col(merged))
 
         commit_id = uuid.uuid4().hex[:12]
-        new_files = self._write_buckets(stored, commit_id)
+        new_files = self._write_buckets(stored, commit_id, pre_partitioned=True)
 
         files = {b: fl for b, fl in manifest["files"].items() if b not in affected_set}
         files.update(new_files)
