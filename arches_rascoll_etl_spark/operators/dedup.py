@@ -238,24 +238,49 @@ def simhash_neardup_pairs(df: DataFrame, id_col: str, text_col: str, max_hamming
     )
 
 
-def duplicate_clusters(pairs: DataFrame, sizes: int = 20) -> DataFrame:
-    """Connected components over candidate pairs via iterative label
-    propagation (small-diameter dup clusters converge in a few rounds).
-    Driver loop, executor data — each round is one join + min-agg."""
-    labels = (
-        pairs.select(F.col("id_a").alias("id"), F.col("id_b").alias("peer"))
-        .unionByName(pairs.select(F.col("id_b").alias("id"), F.col("id_a").alias("peer")))
-        .groupBy("id")
-        .agg(F.least(F.min("peer"), F.min("id")).alias("label"))
+def duplicate_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
+    """Connected components over candidate pairs → (id, label) with label =
+    min id of the component.
+
+    Min-label propagation over the EDGE set each round (neighbor mins),
+    plus a pointer-jumping step (label ← label's label) for logarithmic
+    convergence on chains. Propagating over labels alone is NOT enough — a
+    path component a-b-c-d stalls with two labels — so edges stay in the
+    loop. Driver loop, executor data: each round = one edge join + min-agg;
+    converges in O(log diameter) rounds, checked via isEmpty on the diff."""
+    edges = (
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .unionByName(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
+        .distinct()
+        .persist()
     )
-    for _ in range(sizes):
-        prop = (
-            labels.alias("l")
-            .join(labels.select(F.col("id").alias("label"), F.col("label").alias("parent")).alias("p"), "label")
-            .select("id", F.least("label", "parent").alias("label"))
-        )
-        if prop.exceptAll(labels).isEmpty():
+    labels = edges.groupBy(F.col("src").alias("id")).agg(
+        F.least(F.min("dst"), F.first("src")).alias("label")
+    ).persist()
+    try:
+        for _ in range(max_iter):
+            neighbor_min = (
+                edges.join(labels.withColumnRenamed("id", "dst"), "dst")
+                .groupBy(F.col("src").alias("id"))
+                .agg(F.min("label").alias("nmin"))
+            )
+            parents = labels.select(F.col("id").alias("label"), F.col("label").alias("pmin"))
+            prop = (
+                labels.join(neighbor_min, "id", "left")
+                .join(parents, "label", "left")
+                .select(
+                    "id",
+                    F.least(
+                        "label", F.coalesce("nmin", "label"), F.coalesce("pmin", "label")
+                    ).alias("label"),
+                )
+                .persist()
+            )
+            changed = not prop.exceptAll(labels).isEmpty()
+            labels.unpersist()
             labels = prop
-            break
-        labels = prop
-    return labels
+            if not changed:
+                break
+        return labels
+    finally:
+        edges.unpersist()

@@ -22,7 +22,7 @@ from pyspark.sql.window import Window
 from .functions import text as TX
 from .functions import textstats as TS
 from .functions.hashing import content_key
-from .operators import dedup, lww, multimodal, similarity
+from .operators import dedup, lww, multimodal, similarity, temporal
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
@@ -717,3 +717,163 @@ def q34(spark, sf):
 def q35(spark, sf):
     d = _t(spark, sf, "documents")
     return d.select("doc_id", TS.rolling_hash_udf("text").alias("rolling_hash"))
+
+
+# ------------------------------------------------------- temporal operators
+
+@query(
+    "q36_asof_join",
+    """
+    WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+    v AS (SELECT user_id, ts, event_id, value FROM events WHERE event_type = 'view')
+    SELECT p.event_id, p.user_id, p.ts, lat.r_value
+    FROM p LEFT JOIN LATERAL (
+      SELECT v.value AS r_value FROM v
+      WHERE v.user_id = p.user_id AND v.ts <= p.ts
+      ORDER BY v.ts DESC, v.event_id DESC LIMIT 1
+    ) lat ON TRUE
+    """,
+)
+def q36(spark, sf):
+    """Backward as-of join: each purchase picks up the most recent prior
+    view's value per user. Union+window formulation — one shuffle, no
+    range-join blowup (operators/temporal.py)."""
+    ev = _t(spark, sf, "events")
+    purchases = ev.where(F.col("event_type") == "purchase").select("event_id", "user_id", "ts")
+    views = ev.where(F.col("event_type") == "view").select("user_id", "ts", "event_id", "value")
+    return temporal.asof_join(
+        purchases, views, on=["user_id"], ts_col="ts",
+        right_cols=["value"], tie_cols=["event_id"],
+    )
+
+
+@query(
+    "q37_sessionize",
+    """
+    WITH o AS (
+      SELECT user_id, event_id, epoch_us(ts) AS us,
+             LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+      FROM events
+    ),
+    s AS (
+      SELECT user_id, us,
+             CAST(SUM(CASE WHEN prev_us IS NULL OR us - prev_us > 1800000000 THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY us, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_n
+      FROM o
+    )
+    SELECT user_id, session_n, COUNT(*) AS n_events, MIN(us) AS start_us, MAX(us) AS end_us
+    FROM s GROUP BY 1, 2
+    """,
+)
+def q37(spark, sf):
+    """Gap-based sessionization (30-min gap) + per-session rollup."""
+    ev = _t(spark, sf, "events").select("user_id", "ts", "event_id")
+    s = temporal.sessionize(ev, ["user_id"], "ts", gap_minutes=30, tie_cols=["event_id"])
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    return s.groupBy("user_id", "session_n").agg(
+        F.count("*").alias("n_events"),
+        F.min(us).alias("start_us"),
+        F.max(us).alias("end_us"),
+    )
+
+
+@query(
+    "q38_tumbling_window",
+    """
+    SELECT epoch_us(ts) - epoch_us(ts) % 600000000 AS w_start_us, event_type,
+           COUNT(*) AS n, CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def q38(spark, sf):
+    """Epoch-aligned 10-minute tumbling windows (batch twin of the
+    Structured Streaming windowed agg)."""
+    ev = _t(spark, sf, "events")
+    return temporal.tumbling_window_agg(
+        ev, "ts", "10 minutes", ["event_type"],
+        F.count("*").alias("n"),
+        F.sum(_dec(F.col("value"))).cast("double").alias("total_value"),
+    ).select("w_start_us", "event_type", "n", "total_value")
+
+
+# ------------------------------------------- clustering / remaining ANN ops
+
+@query(
+    "q39_dup_clusters",
+    """
+    WITH RECURSIVE sh AS (
+      SELECT doc_id,
+             list_distinct([substr(text, i, 8) for i in range(1, GREATEST(LENGTH(text) - 7, 1) + 1)]) AS shingles
+      FROM documents
+    ),
+    sig AS (
+      SELECT doc_id,
+             list_min([md5('0:' || s) for s in shingles]) AS mh0,
+             list_min([md5('1:' || s) for s in shingles]) AS mh1,
+             list_min([md5('2:' || s) for s in shingles]) AS mh2,
+             list_min([md5('3:' || s) for s in shingles]) AS mh3
+      FROM sh
+    ),
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM sig a JOIN sig b
+        ON a.doc_id < b.doc_id
+       AND (a.mh0 = b.mh0 OR a.mh1 = b.mh1 OR a.mh2 = b.mh2 OR a.mh3 = b.mh3)
+    ),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION SELECT id_b, id_a FROM pairs
+    ),
+    cc AS (
+      SELECT DISTINCT src AS id, src AS label FROM edges
+      UNION
+      SELECT e.dst AS id, cc.label FROM cc JOIN edges e ON cc.id = e.src
+    )
+    SELECT id AS doc_id, MIN(label) AS cluster_id FROM cc GROUP BY 1
+    """,
+)
+def q39(spark, sf):
+    """Connected components over MinHash-LSH candidate pairs (duplicate
+    clusters): min-label propagation over edges + pointer jumping; oracle =
+    recursive-CTE reachability."""
+    d = _t(spark, sf, "documents")
+    pairs = dedup.lsh_candidate_pairs(d, "doc_id", "text", k_shingles=8, n_hashes=4, bands=4)
+    labels = dedup.duplicate_clusters(pairs)
+    return labels.select(F.col("id").alias("doc_id"), F.col("label").alias("cluster_id"))
+
+
+@query("q40_simhash_neardup_pairs")  # blake2b token hashing: not SQL-expressible
+def q40(spark, sf):
+    d = _t(spark, sf, "documents")
+    return dedup.simhash_neardup_pairs(d, "doc_id", "text", max_hamming=8)
+
+
+@query("q41_lsh_topk")  # hyperplane signs: rows-only driver check
+def q41(spark, sf):
+    e = _t(spark, sf, "embeddings")
+    return similarity.hyperplane_lsh_topk(e, e.where(F.col("vec_id") < 3), dim=64, k=5, n_planes=4)
+
+
+@query("q42_frame_sample")  # mapInPandas media UDTF stub: rows-only check
+def q42(spark, sf):
+    d = _t(spark, sf, "documents")
+    media = d.select(
+        F.col("doc_id").alias("media_id"),
+        F.to_binary(F.sha2("text", 512), F.lit("hex")).alias("payload"),
+    )
+    return multimodal.sample_frames(media, every_n=4, max_frames=3)
+
+
+@query(
+    "q43_nations_with_both",
+    """
+    SELECT c_nationkey AS nationkey FROM customer
+    INTERSECT
+    SELECT s_nationkey FROM supplier
+    """,
+)
+def q43(spark, sf):
+    """Set intersection (SURVEY §2.6 ∅ row: built-in in Spark)."""
+    c = _t(spark, sf, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = _t(spark, sf, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.intersect(s)

@@ -40,27 +40,30 @@ if os.path.isdir("/dev/shm"):
 os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "48g")
 
 
+def _burn(seconds: float) -> int:
+    # module-level so multiprocessing can pickle it under any start method
+    import hashlib
+
+    data = b"x" * 65536
+    t = time.time()
+    n = 0
+    while time.time() - t < seconds:
+        hashlib.sha256(data).digest()
+        n += 1
+    return n
+
+
 def calibrate_host_scaling(n_lo: int = 8, n_hi: int = 32, seconds: float = 3.0) -> dict:
     """Measure the host's actual CPU-scaling ceiling with an embarrassingly
     parallel multiprocess sha256 burn. On oversubscribed/throttled vCPUs
-    (this sandbox: ~2.5× from 8→32 procs) no job can scale 4×; the ceiling
-    contextualizes the replay's measured speedup."""
-    import hashlib
+    no job can scale 4×; the ceiling contextualizes the replay's measured
+    speedup."""
     import multiprocessing as mp
-
-    def burn(_):
-        data = b"x" * 65536
-        t = time.time()
-        n = 0
-        while time.time() - t < seconds:
-            hashlib.sha256(data).digest()
-            n += 1
-        return n
 
     totals = {}
     for n in (n_lo, n_hi):
         with mp.Pool(n) as p:
-            totals[n] = sum(p.map(burn, range(n)))
+            totals[n] = sum(p.map(_burn, [seconds] * n))
     ceiling = totals[n_hi] / totals[n_lo]
     return {"procs": [n_lo, n_hi], "ceiling_speedup": round(ceiling, 3)}
 

@@ -1,0 +1,92 @@
+"""asof_join / sessionize / tumbling windows / connected components."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from arches_rascoll_etl_spark.operators import dedup, temporal
+
+
+def _ts(minute, second=0):
+    return dt.datetime(2024, 1, 1, 0, minute, second)
+
+
+def test_asof_join_backward_inclusive_with_ties(spark):
+    left = spark.createDataFrame(
+        [(1, "u", _ts(10)), (2, "u", _ts(5)), (3, "u", _ts(0)), (4, "w", _ts(30))],
+        "event_id long, user_id string, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [
+            ("u", _ts(5), 100, 1.0),   # exact tie with left event 2 → inclusive
+            ("u", _ts(5), 101, 2.0),   # same ts, higher tie id → wins the tie
+            ("u", _ts(9), 102, 3.0),   # most recent before left event 1
+            ("v", _ts(1), 103, 9.0),   # other key: never matches
+        ],
+        "user_id string, ts timestamp, event_id long, value double",
+    )
+    out = temporal.asof_join(
+        left, right, on=["user_id"], ts_col="ts",
+        right_cols=["value"], tie_cols=["event_id"],
+    )
+    got = {r["event_id"]: r["r_value"] for r in out.collect()}
+    assert got == {1: 3.0, 2: 2.0, 3: None, 4: None}
+
+
+def test_asof_join_tolerance(spark):
+    left = spark.createDataFrame(
+        [(1, "u", _ts(10))], "event_id long, user_id string, ts timestamp"
+    )
+    right = spark.createDataFrame(
+        [("u", _ts(0), 5.0)], "user_id string, ts timestamp, value double"
+    )
+    within = temporal.asof_join(
+        left, right, on=["user_id"], right_cols=["value"], tolerance_us=11 * 60 * 1_000_000
+    )
+    beyond = temporal.asof_join(
+        left, right, on=["user_id"], right_cols=["value"], tolerance_us=9 * 60 * 1_000_000
+    )
+    assert within.collect()[0]["r_value"] == 5.0
+    assert beyond.collect()[0]["r_value"] is None
+
+
+def test_sessionize_gap_boundaries(spark):
+    rows = [
+        ("u", _ts(0), 1), ("u", _ts(10), 2), ("u", _ts(50), 3),  # 40-min gap → new
+        ("u", _ts(55), 4),
+        ("v", _ts(0), 5),
+    ]
+    df = spark.createDataFrame(rows, "user_id string, ts timestamp, event_id long")
+    out = temporal.sessionize(df, ["user_id"], "ts", gap_minutes=30, tie_cols=["event_id"])
+    got = {r["event_id"]: r["session_n"] for r in out.collect()}
+    assert got == {1: 1, 2: 1, 3: 2, 4: 2, 5: 1}
+
+
+def test_tumbling_window_epoch_aligned(spark):
+    df = spark.createDataFrame(
+        [(_ts(0), 1.0), (_ts(9, 59), 2.0), (_ts(10), 4.0)], "ts timestamp, v double"
+    )
+    out = temporal.tumbling_window_agg(
+        df, "ts", "10 minutes", [], F.sum("v").alias("total")
+    ).collect()
+    got = {r["w_start_us"]: r["total"] for r in out}
+    base = int(dt.datetime(2024, 1, 1).replace(tzinfo=dt.timezone.utc).timestamp() * 1_000_000)
+    assert got == {base: 3.0, base + 600_000_000: 4.0}
+
+
+def test_duplicate_clusters_chain_component(spark):
+    """Path graph 3-1-2-0 must collapse to ONE label (the old pointer-only
+    propagation stalled with two)."""
+    pairs = spark.createDataFrame([(3, 1), (1, 2), (2, 0)], "id_a long, id_b long")
+    got = {r["id"]: r["label"] for r in dedup.duplicate_clusters(pairs).collect()}
+    assert got == {0: 0, 1: 0, 2: 0, 3: 0}
+
+
+def test_duplicate_clusters_multiple_components(spark):
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 21), (21, 20)], "id_a long, id_b long"
+    )
+    got = {r["id"]: r["label"] for r in dedup.duplicate_clusters(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 20: 20, 21: 20}
