@@ -13,6 +13,53 @@ from arches_rascoll_etl_spark.synth import ChangeLogConfig, change_log
 CFG = ChangeLogConfig(n_events=2_000, n_repos=6, paths_per_repo=60, n_batches=4)
 
 
+def test_stateful_streaming_lww_matches_oracle(spark, tmp_path):
+    """applyInPandasWithState LWW: max emitted winner per key == oracle.
+
+    Every micro-batch emits the then-current winner for updated keys, so
+    the greatest (commit_seq, commit) row emitted per key over the whole
+    stream must equal the batch-LWW winner."""
+    from arches_rascoll_etl_spark.streaming.stateful import streaming_lww
+
+    src = str(tmp_path / "src")
+    log = change_log(spark, CFG)
+    log.write.partitionBy("batch_id").parquet(src)
+
+    stream = (
+        spark.readStream.schema(log.drop("batch_id").schema)
+        .option("maxFilesPerTrigger", 4)
+        .parquet(src + "/batch_id=*")
+    )
+    winners = streaming_lww(stream, keys=("repo", "path"), order_cols=("commit_seq", "commit"))
+    q = (
+        winners.writeStream.format("memory")
+        .queryName("lww_sink")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    emitted = spark.sql("SELECT * FROM lww_sink").collect()
+    best: dict = {}
+    for r in emitted:
+        k = (r["repo"], r["path"])
+        o = (r["commit_seq"], r["commit"])
+        if k not in best or o > (best[k]["commit_seq"], best[k]["commit"]):
+            best[k] = r
+    got = {
+        (k[0], k[1], r["commit"], r["lang"]): r["op"]
+        for k, r in best.items()
+    }
+    events = [r.asDict() for r in log.collect()]
+    want = {}
+    for e in sorted(events, key=lambda e: (e["commit_seq"], e["commit"])):
+        want[(e["repo"], e["path"])] = e
+    want_set = {(k[0], k[1], e["commit"], e["lang"]): e["op"] for k, e in want.items()}
+    assert got == want_set
+
+
 def test_stream_replay_matches_oracle(spark, tmp_path):
     src = str(tmp_path / "src")
     log = change_log(spark, CFG)
