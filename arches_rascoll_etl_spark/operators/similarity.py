@@ -20,8 +20,10 @@ shipped as array literals (dims are small), so replay is byte-stable.
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
 from pyspark.sql.window import Window
 
 
@@ -110,6 +112,112 @@ def hyperplane_lsh_topk(
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("match_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "match_id", "cos_sim", "rank")
+    )
+
+
+def _kmeans_centroids(
+    sample: "np.ndarray", n_centroids: int, n_iter: int, seed: int
+) -> "np.ndarray":
+    """Deterministic Lloyd k-means on a driver-side sample (the coarse
+    quantizer is tiny — centroids × dim floats — the corpus never leaves
+    executors)."""
+    rs = np.random.RandomState(seed)
+    idx = rs.choice(len(sample), size=min(n_centroids, len(sample)), replace=False)
+    cents = sample[np.sort(idx)].copy()
+    for _ in range(n_iter):
+        d = ((sample[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        assign = d.argmin(axis=1)
+        for c in range(len(cents)):
+            m = sample[assign == c]
+            if len(m):
+                cents[c] = m.mean(axis=0)
+    return cents
+
+
+def ivf_assign_udf(centroids: "np.ndarray"):
+    """Arrow-batched nearest-centroid assignment (no per-row Python)."""
+    C = centroids.astype(np.float64)
+    Cn2 = (C * C).sum(axis=1)
+
+    @pandas_udf("int")
+    def assign(vecs: pd.Series) -> pd.Series:
+        if len(vecs) == 0:
+            return pd.Series([], dtype="int32")
+        V = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
+        # argmin ||v-c||^2 = argmin (||c||^2 - 2 v·c), vectorized batch matmul
+        d = Cn2[None, :] - 2.0 * (V @ C.T)
+        return pd.Series(d.argmin(axis=1).astype("int32"))
+
+    return assign
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_centroids: int = 8,
+    n_probe: int = 2,
+    n_iter: int = 3,
+    sample_every: int = 7,
+    sample_cap: int = 1024,
+    seed: int = 42,
+) -> DataFrame:
+    """IVF approximate top-k: coarse k-means quantizer → corpus bucketed by
+    nearest centroid (inverted file) → each query probes its ``n_probe``
+    nearest cells → exact cosine re-rank within probed cells.
+
+    ``n_probe == n_centroids`` degrades to exact brute force (tested).
+    Scale story: the quantizer is a driver-side numpy k-means over a
+    deterministic sample; assignment is one Arrow-batched pass over the
+    corpus (inverted lists are just a bucket column — at 100 TB they'd be
+    the table's partition/bucket layout, computed once at ingest); the probe
+    join shuffles only candidates in probed cells, never O(n²)."""
+    sample_rows = (
+        corpus.where(F.pmod(F.col(id_col), F.lit(sample_every)) == 0)
+        .orderBy(id_col)
+        .limit(sample_cap)
+        .select(vec_col)
+        .collect()
+    )
+    sample = np.stack([np.asarray(r[0], dtype=np.float64) for r in sample_rows])
+    cents = _kmeans_centroids(sample, n_centroids, n_iter, seed)
+    assign = ivf_assign_udf(cents)
+
+    c = corpus.select(
+        F.col(id_col).alias("match_id"),
+        F.col(vec_col).alias("_cv"),
+        assign(F.col(vec_col)).alias("_cell"),
+    )
+    # queries probe their n_probe nearest cells (tiny, driver-side per-row ok
+    # via the same vectorized udf applied n_probe times → rank by distance)
+    C = cents.astype(np.float64)
+    Cn2 = (C * C).sum(axis=1)
+
+    @pandas_udf("array<int>")
+    def probe_cells(vecs: pd.Series) -> pd.Series:
+        if len(vecs) == 0:
+            return pd.Series([], dtype=object)
+        V = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
+        d = Cn2[None, :] - 2.0 * (V @ C.T)
+        order = np.argsort(d, axis=1)[:, :n_probe]
+        return pd.Series([row.astype("int32").tolist() for row in order])
+
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("_qv"),
+        F.explode(probe_cells(F.col(vec_col))).alias("_cell"),
+    )
+    scored = c.join(F.broadcast(q), on="_cell").where(
+        F.col("match_id") != F.col("query_id")
+    ).select("query_id", "match_id", cosine(F.col("_qv"), F.col("_cv")).alias("cos_sim"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("match_id"))
+    return (
+        scored.groupBy("query_id", "match_id").agg(F.max("cos_sim").alias("cos_sim"))
+        .withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
         .select("query_id", "match_id", "cos_sim", "rank")
     )

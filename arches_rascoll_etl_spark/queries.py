@@ -864,6 +864,27 @@ def q42(spark, sf):
     return multimodal.sample_frames(media, every_n=4, max_frames=3)
 
 
+@query("q44_ivf_topk")  # k-means centroids: rows-only driver check (see
+# tests/test_similarity_ivf.py for the exact-equality-at-full-probe proof)
+def q44(spark, sf):
+    """IVF ANN: coarse quantizer cells + probe-n re-rank (the 'inverted
+    file' scale path next to the LSH one in q41)."""
+    e = _t(spark, sf, "embeddings")
+    return similarity.ivf_topk(
+        e, e.where(F.col("vec_id") < 3), k=5, n_centroids=8, n_probe=2
+    )
+
+
+@query("q45_audio_features")  # mapInPandas media stub: rows-only check
+def q45(spark, sf):
+    d = _t(spark, sf, "documents")
+    media = d.select(
+        F.col("doc_id").alias("media_id"),
+        F.to_binary(F.sha2("text", 512), F.lit("hex")).alias("payload"),
+    )
+    return multimodal.audio_features(media)
+
+
 @query(
     "q43_nations_with_both",
     """

@@ -1,0 +1,49 @@
+"""IVF ANN correctness: probing every cell must equal exact brute force."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from arches_rascoll_etl_spark.operators import multimodal, similarity
+
+SF = "/root/testdata/sf0.001"
+
+
+def _rows(df):
+    return {
+        (r["query_id"], r["rank"]): (r["match_id"], round(r["cos_sim"], 6))
+        for r in df.collect()
+    }
+
+
+def test_ivf_full_probe_equals_bruteforce(spark):
+    e = spark.read.parquet(f"{SF}/embeddings.parquet")
+    q = e.where(F.col("vec_id") < 3)
+    exact = similarity.cosine_topk_bruteforce(e, q, k=5)
+    ivf = similarity.ivf_topk(e, q, k=5, n_centroids=8, n_probe=8)
+    assert _rows(ivf) == _rows(exact)
+
+
+def test_ivf_partial_probe_is_subset_ranked(spark):
+    e = spark.read.parquet(f"{SF}/embeddings.parquet")
+    q = e.where(F.col("vec_id") < 3)
+    out = similarity.ivf_topk(e, q, k=5, n_centroids=8, n_probe=2).collect()
+    assert len(out) > 0
+    by_q: dict = {}
+    for r in out:
+        by_q.setdefault(r["query_id"], []).append(r)
+    for rows in by_q.values():
+        rows.sort(key=lambda r: r["rank"])
+        sims = [r["cos_sim"] for r in rows]
+        assert sims == sorted(sims, reverse=True)
+        assert rows[0]["rank"] == 1
+
+
+def test_audio_features_stub_shapes(spark):
+    media = multimodal.synth_media(spark, n=16).where(F.col("kind") == "audio")
+    out = multimodal.audio_features(media).collect()
+    assert len(out) == media.count()
+    for r in out:
+        assert r["n_samples"] > 0
+        assert r["rms"] >= 0.0
+        assert len(r["spectral_bands"]) == 4
