@@ -1,9 +1,11 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
 ``entry`` runs the flagship CDC LWW replay on sf0.001; ``queries`` /
-``oracle_sql`` expose every implemented operator from SURVEY.md §2 plus the
-training-data-pipeline operators, with DuckDB-exact oracles where the op is
-ANSI-SQL-expressible (pandas-UDF / LSH-plane ops are rows-only by design).
+``oracle_sql`` expose every implemented operator from SURVEY.md §2 (see the
+§8 coverage map) plus the training-data-pipeline operators: 45 queries, 36
+with DuckDB-exact oracles; the rest (pandas-UDF media/fingerprint ops,
+LSH planes, k-means centroids) are rows-only by design and carry their own
+exact tests in tests/ instead.
 """
 
 from __future__ import annotations
