@@ -2,11 +2,16 @@
 
 Iceberg-shaped semantics with zero extra dependencies:
 
-* **Snapshot isolation / atomic commit** — every commit writes immutable
-  data files plus a new JSON manifest, then atomically swaps a ``_current``
-  pointer via ``os.replace``. Readers resolve ``_current`` once; a crash
-  anywhere before the swap leaves the previous snapshot intact (orphan data
-  files are unreferenced and harmless).
+* **Snapshot isolation / atomic CAS commit** — every commit writes immutable
+  data files plus a new JSON manifest under a unique attempt name, then
+  claims the canonical ``vNNNNNN.json`` manifest name via ``os.link`` — a
+  true compare-and-swap on the version number (the Iceberg
+  optimistic-concurrency model). Readers resolve the max committed version
+  once; a crash before the link leaves the previous snapshot intact
+  (orphan attempt/data files are unreferenced and harmless); a racing
+  second committer of the same version gets :class:`CommitConflictError`
+  instead of silently clobbering (retry = redo the merge against the new
+  head; batch-id idempotence makes that safe).
 * **Copy-on-write MERGE bounded by key-hash buckets** — rows are bucketed by
   ``pmod(xxhash64(key...), n_buckets)``. A merge rewrites *only the buckets
   the batch touches*: at 100 TB with 4096 buckets, a batch touching 1% of
@@ -46,6 +51,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import time
 import uuid
 from typing import Iterable
@@ -57,8 +63,12 @@ from pyspark.sql import types as T
 from ..operators.lww import lww_latest
 from .table import LakeTable, MergeStats
 
-_CURRENT = "_current"
 _BUCKET = "_bucket"
+
+
+class CommitConflictError(RuntimeError):
+    """Another writer committed this version first. The caller must re-read
+    the head and redo the merge (safe: batch-id idempotence)."""
 
 # numeric widening lattice (Iceberg-style type promotion)
 _WIDEN = {
@@ -116,12 +126,17 @@ class SnapshotTable(LakeTable):
 
     # ---------- snapshot plumbing ----------
 
+    _MANIFEST_RE = re.compile(r"^v(\d{6})\.json$")
+
     def _current_version(self) -> int | None:
-        p = os.path.join(self.path, _CURRENT)
-        if not os.path.exists(p):
+        try:
+            entries = os.listdir(os.path.join(self.path, "manifests"))
+        except FileNotFoundError:
             return None
-        with open(p) as f:
-            return json.load(f)["version"]
+        versions = [
+            int(m.group(1)) for e in entries if (m := self._MANIFEST_RE.match(e))
+        ]
+        return max(versions) if versions else None
 
     def _manifest_path(self, version: int) -> str:
         return os.path.join(self.path, "manifests", f"v{version:06d}.json")
@@ -131,15 +146,28 @@ class SnapshotTable(LakeTable):
             return json.load(f)
 
     def _commit(self, manifest: dict) -> None:
+        """CAS commit: the manifest is fully written to a unique attempt
+        file, then ``os.link``ed to its canonical ``vNNNNNN.json`` name —
+        link is atomic and fails if the name exists, so exactly one writer
+        claims each version, with complete content (no window where the
+        canonical file exists half-written). Losing the race raises
+        :class:`CommitConflictError`; a crash before the link leaves only
+        an ``attempt-*`` orphan that no reader ever resolves."""
         version = manifest["version"]
-        mp = self._manifest_path(version)
-        with open(mp + ".tmp", "w") as f:
+        attempt = os.path.join(
+            self.path, "manifests", f"attempt-{uuid.uuid4().hex[:12]}.json"
+        )
+        with open(attempt, "w") as f:
             json.dump(manifest, f)
-        os.replace(mp + ".tmp", mp)
-        cur_tmp = os.path.join(self.path, _CURRENT + ".tmp")
-        with open(cur_tmp, "w") as f:
-            json.dump({"version": version}, f)
-        os.replace(cur_tmp, os.path.join(self.path, _CURRENT))
+        try:
+            os.link(attempt, self._manifest_path(version))
+        except FileExistsError:
+            os.unlink(attempt)
+            raise CommitConflictError(
+                f"version {version} of {self.path} was committed concurrently; "
+                "re-read the head and redo the merge"
+            ) from None
+        os.unlink(attempt)
 
     def exists(self) -> bool:
         return self._current_version() is not None

@@ -143,21 +143,48 @@ def test_tombstones_survive_out_of_order_then_compact(spark, tmp_table_dir):
     assert _state_set(tbl.read()) == live_before
 
 
-def test_crash_before_pointer_swap_preserves_snapshot(spark, tmp_table_dir):
-    """A manifest written without the _current swap must be invisible."""
+def test_crash_before_commit_link_preserves_snapshot(spark, tmp_table_dir):
+    """A commit that crashed before linking its canonical manifest name
+    must be invisible (attempt files are never resolved by readers)."""
+    import os
+
     tbl = _mk(spark, tmp_table_dir)
     tbl.merge(batch_events(spark, CFG, 0), batch_id="b0")
     state = _state_set(tbl.read())
-    # simulate: next commit wrote its manifest but crashed before os.replace
+    # simulate: next commit wrote its attempt file but crashed before link
     orphan = dict(tbl._load_manifest(0), version=1, parent_version=0,
                   summary={"operation": "merge", "batch-id": "ghost"})
-    with open(tbl._manifest_path(1), "w") as f:
+    with open(os.path.join(tmp_table_dir, "manifests", "attempt-deadbeef.json"), "w") as f:
         json.dump(orphan, f)
     tbl2 = _mk(spark, tmp_table_dir)
     assert tbl2.current_version() == 0
     assert _state_set(tbl2.read()) == state
     assert "ghost" not in tbl2.committed_batch_ids()
-    # recovery: the next real merge reuses version 1 and commits atomically
+    # recovery: the next real merge claims version 1 and commits atomically
     st = tbl2.merge(batch_events(spark, CFG, 1), batch_id="b1")
     assert st.applied and tbl2.current_version() == 1
     assert tbl2._load_manifest(1)["summary"]["batch-id"] == "b1"
+
+
+def test_concurrent_commit_conflict_detected(spark, tmp_table_dir):
+    """Two writers racing for the same version: exactly one wins; the loser
+    gets CommitConflictError and the winner's manifest is untouched."""
+    import pytest
+
+    from arches_rascoll_etl_spark.lake.parquet_snapshot import CommitConflictError
+
+    tbl = _mk(spark, tmp_table_dir)
+    tbl.merge(batch_events(spark, CFG, 0), batch_id="b0")
+    winner = dict(tbl._load_manifest(0), version=1, parent_version=0,
+                  summary={"operation": "merge", "batch-id": "winner"})
+    tbl._commit(winner)
+    loser = dict(tbl._load_manifest(0), version=1, parent_version=0,
+                 summary={"operation": "merge", "batch-id": "loser"})
+    with pytest.raises(CommitConflictError):
+        tbl._commit(loser)
+    assert tbl.current_version() == 1
+    assert tbl._load_manifest(1)["summary"]["batch-id"] == "winner"
+    # no attempt-file litter from either path
+    import os
+    assert not [e for e in os.listdir(os.path.join(tmp_table_dir, "manifests"))
+                if e.startswith("attempt-")]
