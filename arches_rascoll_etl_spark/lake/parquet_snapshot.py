@@ -183,10 +183,57 @@ class SnapshotTable(LakeTable):
         v = self._current_version()
         out = []
         while v is not None:
-            m = self._load_manifest(v)
+            try:
+                m = self._load_manifest(v)
+            except FileNotFoundError:
+                break  # older history expired (expire_snapshots)
             out.append({"version": m["version"], "summary": m.get("summary", {})})
             v = m.get("parent_version")
         return list(reversed(out))
+
+    def expire_snapshots(self, keep_last: int = 2) -> dict:
+        """Retention GC (Iceberg expire_snapshots analogue): drop snapshots
+        older than the last ``keep_last`` and delete data files referenced
+        ONLY by them. Time travel beyond retention then raises (as in
+        Iceberg); replay idempotence is unaffected — the checkpoint
+        manifest, not snapshot history, is the replay's skip authority,
+        and the lake-side batch-id dedup still covers the retained window.
+        """
+        cur = self._current_version()
+        if cur is None:
+            return {"removed_snapshots": 0, "removed_files": 0}
+        chain: list[dict] = []
+        v: int | None = cur
+        while v is not None:
+            try:
+                m = self._load_manifest(v)
+            except FileNotFoundError:
+                break
+            chain.append(m)
+            v = m.get("parent_version")
+        keep, expire = chain[:keep_last], chain[keep_last:]
+        keep_files = {f for m in keep for fl in m["files"].values() for f in fl}
+        removed_files = 0
+        for m in expire:
+            for fl in m["files"].values():
+                for f in fl:
+                    if f not in keep_files:
+                        p = os.path.join(self.path, f)
+                        if os.path.exists(p):
+                            os.unlink(p)
+                            removed_files += 1
+            os.unlink(self._manifest_path(m["version"]))
+        # prune empty per-commit data dirs left behind
+        data_root = os.path.join(self.path, "data")
+        for commit_dir in os.listdir(data_root):
+            cd = os.path.join(data_root, commit_dir)
+            for bucket_dir in os.listdir(cd) if os.path.isdir(cd) else []:
+                bd = os.path.join(cd, bucket_dir)
+                if os.path.isdir(bd) and not os.listdir(bd):
+                    os.rmdir(bd)
+            if os.path.isdir(cd) and not os.listdir(cd):
+                os.rmdir(cd)
+        return {"removed_snapshots": len(expire), "removed_files": removed_files}
 
     def committed_batch_ids(self) -> set[str]:
         return {

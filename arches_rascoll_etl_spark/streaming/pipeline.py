@@ -33,6 +33,24 @@ class InjectedFailure(RuntimeError):
     """Raised by tests to simulate a mid-replay crash."""
 
 
+def _merge_with_retry(table: LakeTable, df: DataFrame, bid: str, attempts: int = 3):
+    """Apply one batch, retrying on optimistic-concurrency conflicts.
+
+    A CommitConflictError means another writer claimed our snapshot version
+    first; the merge is simply redone against the new head — safe because
+    application is idempotent on batch id (if the *other* writer applied
+    this very batch, the redo is a no-op skip)."""
+    from ..lake.parquet_snapshot import CommitConflictError
+
+    for attempt in range(attempts):
+        try:
+            return table.merge(df, batch_id=bid)
+        except CommitConflictError:
+            if attempt == attempts - 1:
+                raise
+    raise AssertionError("unreachable")
+
+
 @dataclass
 class ReplayResult:
     applied: list[str] = field(default_factory=list)
@@ -73,7 +91,7 @@ def replay(
         if fail_before_merge == b:
             raise InjectedFailure(f"before merge of batch {bid}")
         t0 = time.time()
-        stats = table.merge(df, batch_id=bid)
+        stats = _merge_with_retry(table, df, bid)
         if fail_before_checkpoint == b:
             raise InjectedFailure(f"after merge, before checkpoint of batch {bid}")
         part_lineage = (
@@ -108,7 +126,7 @@ def stream_into_table(
     """
 
     def _apply(batch_df: DataFrame, epoch_id: int) -> None:
-        stats = table.merge(batch_df, batch_id=f"epoch-{epoch_id}")
+        stats = _merge_with_retry(table, batch_df, f"epoch-{epoch_id}")
         checkpoint.record(f"epoch-{epoch_id}", stats.snapshot_version, stats.as_dict())
 
     writer = (

@@ -166,6 +166,33 @@ def test_crash_before_commit_link_preserves_snapshot(spark, tmp_table_dir):
     assert tbl2._load_manifest(1)["summary"]["batch-id"] == "b1"
 
 
+def test_expire_snapshots_retention(spark, tmp_table_dir):
+    """GC old snapshots: live state intact, expired time travel raises,
+    only files exclusive to expired snapshots deleted."""
+    import os
+
+    import pytest
+
+    tbl = _mk(spark, tmp_table_dir)
+    for b in range(3):
+        tbl.merge(batch_events(spark, CFG, b), batch_id=f"b{b}")
+    live = _state_set(tbl.read())
+    res = tbl.expire_snapshots(keep_last=2)
+    assert res["removed_snapshots"] == 1
+    assert tbl.current_version() == 2
+    assert _state_set(tbl.read()) == live
+    assert _state_set(tbl.read(version=1)) is not None  # within retention
+    with pytest.raises(FileNotFoundError):
+        tbl.read(version=0)
+    assert [s["version"] for s in tbl.snapshots()] == [1, 2]
+    # every file referenced by retained manifests still exists
+    for v in (1, 2):
+        m = tbl._load_manifest(v)
+        for fl in m["files"].values():
+            for f in fl:
+                assert os.path.exists(os.path.join(tmp_table_dir, f))
+
+
 def test_concurrent_commit_conflict_detected(spark, tmp_table_dir):
     """Two writers racing for the same version: exactly one wins; the loser
     gets CommitConflictError and the winner's manifest is untouched."""
