@@ -97,12 +97,17 @@ def minhash_table(
 
     Scale path: the higher-order-function formulation
     (``minhash_signature``) evaluates its lambdas interpreted, per element;
-    this one keeps every md5 inside whole-stage codegen and gets map-side
-    partial aggregation (per-partition per-doc mins) before the shuffle.
-    Duplicate shingles need no dedup — min() is multiset-invariant."""
+    this one keeps every expression (substring + md5) inside whole-stage
+    codegen and gets map-side partial aggregation (per-partition per-doc
+    mins) before the shuffle. Duplicate shingles need no dedup — min() is
+    multiset-invariant — so no array_distinct, no per-doc array
+    materialization: explode an index sequence and substring per row."""
+    n = F.greatest(F.length(_c(text_col)) - (k_shingles - 1), F.lit(1))
     base = df.select(
-        F.col(id_col).alias("_id"), F.explode(shingles(text_col, k_shingles)).alias("_sh")
-    )
+        F.col(id_col).alias("_id"),
+        F.explode(F.sequence(F.lit(1), n)).alias("_i"),
+        _c(text_col).alias("_t"),
+    ).select("_id", F.col("_t").substr(F.col("_i"), F.lit(k_shingles)).alias("_sh"))
     aggs = [
         F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("_sh")))).alias(f"mh{i}")
         for i in range(n_hashes)
