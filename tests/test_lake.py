@@ -166,6 +166,21 @@ def test_crash_before_commit_link_preserves_snapshot(spark, tmp_table_dir):
     assert tbl2._load_manifest(1)["summary"]["batch-id"] == "b1"
 
 
+def test_empty_batch_merge_is_recorded_noop(spark, tmp_table_dir):
+    """A batch with zero events must not disturb state but must still be
+    recorded (its batch-id is committed, so resume skips it)."""
+    tbl = _mk(spark, tmp_table_dir)
+    b0 = batch_events(spark, CFG, 0)
+    tbl.merge(b0, batch_id="b0")
+    before = _state_set(tbl.read())
+    st = tbl.merge(b0.where(F.lit(False)), batch_id="empty-range")
+    assert st.applied and st.rows_in == 0 and st.deletes == 0
+    assert _state_set(tbl.read()) == before
+    assert "empty-range" in tbl.committed_batch_ids()
+    st2 = tbl.merge(b0.where(F.lit(False)), batch_id="empty-range")
+    assert not st2.applied and st2.skipped_reason == "already-committed"
+
+
 def test_expire_snapshots_retention(spark, tmp_table_dir):
     """GC old snapshots: live state intact, expired time travel raises,
     only files exclusive to expired snapshots deleted."""
