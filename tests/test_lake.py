@@ -166,6 +166,34 @@ def test_crash_before_commit_link_preserves_snapshot(spark, tmp_table_dir):
     assert tbl2._load_manifest(1)["summary"]["batch-id"] == "b1"
 
 
+def test_read_keys_bucket_pruned_lookup(spark, tmp_table_dir):
+    """Point lookup reads only the buckets its keys hash into and returns
+    exactly the full-scan-filtered rows."""
+    tbl = _mk(spark, tmp_table_dir)
+    for b in range(2):
+        tbl.merge(batch_events(spark, CFG, b), batch_id=f"b{b}")
+    sample = [(r["repo"], r["path"]) for r in tbl.read().limit(3).collect()]
+    got = {tuple(r) for r in tbl.read_keys(sample)
+           .select("repo", "path", "commit", "lang", F.sha2("content", 256)).collect()}
+    full = tbl.read()
+    want = {
+        tuple(r)
+        for r in full.join(
+            spark.createDataFrame(sample, "repo string, path string"),
+            ["repo", "path"], "left_semi",
+        ).select("repo", "path", "commit", "lang", F.sha2("content", 256)).collect()
+    }
+    assert got == want and len(got) == len(sample)
+    # pruning is real: the keys' buckets are a strict subset of all buckets
+    m = tbl._load_manifest(tbl.current_version())
+    key_df = spark.createDataFrame(sample, "repo string, path string")
+    wanted = {
+        str(r[0])
+        for r in key_df.select(tbl._bucket_col(key_df).alias("b")).distinct().collect()
+    }
+    assert 0 < len(wanted) <= len(sample) < len(m["files"])
+
+
 def test_empty_batch_merge_is_recorded_noop(spark, tmp_table_dir):
     """A batch with zero events must not disturb state but must still be
     recorded (its batch-id is committed, so resume skips it)."""
