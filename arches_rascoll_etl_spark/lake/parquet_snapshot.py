@@ -427,116 +427,122 @@ class SnapshotTable(LakeTable):
         return version
 
     def merge(self, batch: DataFrame, batch_id: str, summary: dict | None = None) -> MergeStats:
+        """Apply one change batch. Two Spark jobs, no caching barrier:
+
+        1. *Stats job* (cheap): per-bucket event counts computed from the
+           KEY COLUMNS ONLY — a column-pruned scan whose shuffle payload is
+           at most ``n_buckets`` pre-aggregated rows per map task. Yields
+           ``rows_in`` and the affected-bucket set that bounds the COW.
+        2. *Apply job* (fused): LWW-collapse the raw batch (hash agg with
+           map-side combine — a hot key costs each reducer
+           O(map_partitions), not O(events)) → union with the affected
+           target rows → one explicit repartition into n_buckets partitions
+           on the keys → final LWW hash-agg (partitioning reused — no agg
+           exchange) → bucketed write (partition id == bucket id — no
+           write exchange). Delete/key stats ride along as ``Observation``
+           metrics on the write action. Compared to the previous shape this
+           drops the winners cache materialization and its collect barrier:
+           nothing between batch scan and committed files but two exchanges.
+        """
         t0 = time.time()
         bid = str(batch_id)
         if self.exists() and bid in self.committed_batch_ids():
             return MergeStats(batch_id=bid, applied=False, skipped_reason="already-committed",
                               total_buckets=self.n_buckets)
 
-        # 1. collapse batch to per-key winners (skew-immune hash agg); the
-        # same pass also counts collapsed events per key, so stats below need
-        # no second scan of the batch
-        winners = lww_latest(batch, self.key_cols, self.order_cols, count_alias="_n_events")
-        winners = winners.withColumn(_BUCKET, self._bucket_col(winners)).persist()
-        try:
-            return self._merge_winners(winners, bid, summary, t0)
-        finally:
-            winners.unpersist()
-
-    def _merge_winners(self, winners: DataFrame, bid: str, summary: dict | None, t0: float) -> MergeStats:
-        # single job: per-bucket stats → affected buckets + rows_in + deletes
+        # ---- job 1: affected buckets + rows_in, key columns only ----
         bucket_rows = (
-            winners.groupBy(_BUCKET)
-            .agg(
-                F.sum("_n_events").alias("n_events"),
-                F.count("*").alias("n_keys"),
-                F.sum(F.when(F.col(self.op_col) == "D", 1).otherwise(0)).alias("n_del"),
-            )
+            batch.select(*self.key_cols)
+            .groupBy(self._bucket_col(batch).alias(_BUCKET))
+            .agg(F.count("*").alias("n_events"))
             .collect()
         )
         rows_in = int(sum(r["n_events"] for r in bucket_rows))
-        n_keys = int(sum(r["n_keys"] for r in bucket_rows))
-        n_del = int(sum(r["n_del"] for r in bucket_rows))
         affected = sorted(int(r[_BUCKET]) for r in bucket_rows)
         affected_set = {str(b) for b in affected}
-        winners = winners.drop("_n_events")
 
-        if not self.exists():
-            # tombstones are stored too: a delete in this batch must survive
-            # to beat lower-seq events arriving in later (out-of-order) batches
-            commit_id = uuid.uuid4().hex[:12]
-            files = self._write_buckets(winners, commit_id)
-            manifest = {
-                "version": 0,
-                "parent_version": None,
-                "schema": winners.drop(_BUCKET, self.op_col).schema.jsonValue(),
+        exists = self.exists()
+        cur_version = self._current_version()
+        old_manifest = self._load_manifest(cur_version) if exists else None
+        batch_schema = T.StructType(
+            [f for f in batch.schema.fields if f.name != self.op_col]
+        )
+
+        if rows_in == 0:
+            # still commit: the batch id must be recorded for resume skips
+            version = 0 if cur_version is None else cur_version + 1
+            self._commit({
+                "version": version,
+                "parent_version": cur_version,
+                "schema": (old_manifest or {}).get("schema", batch_schema.jsonValue()),
                 "n_buckets": self.n_buckets,
                 "key_cols": self.key_cols,
                 "order_cols": self.order_cols,
-                "files": files,
+                "files": (old_manifest or {}).get("files", {}),
                 "summary": {"operation": "merge", "batch-id": bid, **(summary or {})},
-            }
-            self._commit(manifest)
-            return MergeStats(
-                batch_id=bid, applied=True, rows_in=rows_in,
-                deletes=n_del, upserts=n_keys - n_del,
-                affected_buckets=sorted(int(b) for b in files), total_buckets=self.n_buckets,
-                snapshot_version=0, wall_ms=(time.time() - t0) * 1000,
-            )
+            })
+            return MergeStats(batch_id=bid, applied=True, rows_in=0,
+                              total_buckets=self.n_buckets, snapshot_version=version,
+                              wall_ms=(time.time() - t0) * 1000)
 
-        # ---------- existing table: copy-on-write merge ----------
-        cur_version = self._current_version()
-        manifest = self._load_manifest(cur_version)
-        old_schema = T.StructType.fromJson(manifest["schema"])
+        # ---- job 2: fused union + LWW + bucketed write ----
+        if exists:
+            old_schema = T.StructType.fromJson(old_manifest["schema"])
+            new_schema = _merge_schemas(old_schema, batch_schema)
+            target_files = [
+                f for b, fl in old_manifest["files"].items() if b in affected_set for f in fl
+            ]
+            target = self._read_files(target_files, self._stored_schema(old_schema))
+        else:
+            new_schema = batch_schema
+            target = None
 
-        target_files = [
-            f for b, fl in manifest["files"].items() if b in affected_set for f in fl
-        ]
-        target = self._read_files(target_files, self._stored_schema(old_schema))
-
-        # schema evolution: merged schema, then align both sides
-        batch_schema = T.StructType(
-            [f for f in winners.schema.fields if f.name not in (self.op_col, _BUCKET)]
-        )
-        new_schema = _merge_schemas(old_schema, batch_schema)
-
-        def align(df: DataFrame, has_op: bool) -> DataFrame:
+        def align(df: DataFrame) -> DataFrame:
             cols = []
             for f in new_schema.fields:
                 if f.name in df.columns:
                     cols.append(F.col(f.name).cast(f.dataType).alias(f.name))
                 else:
                     cols.append(F.lit(None).cast(f.dataType).alias(f.name))
-            if has_op:
-                cols.append(F.col(self.op_col))
+            cols.append(F.col(self.op_col))
             return df.select(*cols)
 
-        # 3. union + LWW: stored rows (incl. retained tombstones) re-enter the
-        # merge as events at their own seq, so out-of-order/duplicate batches
-        # cannot regress the table; pre-tombstone overwrite files read op=null.
-        # One explicit repartition into exactly n_buckets partitions keyed on
-        # key_cols serves BOTH the LWW groupBy (clustering satisfied — no agg
-        # shuffle) and the bucketed write (partition id == bucket id — no
-        # write shuffle): the whole apply stage costs a single exchange.
-        target_ev = align(target, has_op=True).withColumn(
-            self.op_col, F.coalesce(F.col(self.op_col), F.lit("U"))
-        )
-        unioned = (
-            align(winners, has_op=True)
-            .unionByName(target_ev)
-            .repartition(self.n_buckets, *[F.col(k) for k in self.key_cols])
-        )
+        # stored rows (incl. retained tombstones) re-enter the merge as
+        # events at their own seq, so out-of-order/duplicate batches cannot
+        # regress the table; pre-tombstone overwrite files read op=null
+        unioned = align(lww_latest(batch, self.key_cols, self.order_cols))
+        if target is not None:
+            target_ev = align(target).withColumn(
+                self.op_col, F.coalesce(F.col(self.op_col), F.lit("U"))
+            )
+            unioned = unioned.unionByName(target_ev)
+        unioned = unioned.repartition(self.n_buckets, *[F.col(k) for k in self.key_cols])
         merged = lww_latest(unioned, self.key_cols, self.order_cols)
         stored = merged.withColumn(_BUCKET, self._bucket_col(merged))
 
+        from pyspark.sql import Observation
+
+        obs = Observation()
+        stored = stored.observe(
+            obs,
+            F.count(F.lit(1)).alias("n_keys"),
+            F.sum(F.when(F.col(self.op_col) == "D", 1).otherwise(0)).alias("n_del"),
+        )
+
         commit_id = uuid.uuid4().hex[:12]
         new_files = self._write_buckets(stored, commit_id, pre_partitioned=True)
+        metrics = obs.get
+        n_keys = int(metrics["n_keys"] or 0)
+        n_del = int(metrics["n_del"] or 0)
 
-        files = {b: fl for b, fl in manifest["files"].items() if b not in affected_set}
+        files = (
+            {b: fl for b, fl in old_manifest["files"].items() if b not in affected_set}
+            if exists else {}
+        )
         files.update(new_files)
 
-        version = cur_version + 1
-        new_manifest = {
+        version = 0 if cur_version is None else cur_version + 1
+        self._commit({
             "version": version,
             "parent_version": cur_version,
             "schema": new_schema.jsonValue(),
@@ -545,8 +551,7 @@ class SnapshotTable(LakeTable):
             "order_cols": self.order_cols,
             "files": files,
             "summary": {"operation": "merge", "batch-id": bid, **(summary or {})},
-        }
-        self._commit(new_manifest)
+        })
         return MergeStats(
             batch_id=bid, applied=True, rows_in=rows_in,
             deletes=n_del, upserts=n_keys - n_del,
