@@ -369,6 +369,70 @@ class SnapshotTable(LakeTable):
         self._commit(manifest)
         return version
 
+    def read_changes(self, from_version: int, to_version: int | None = None) -> DataFrame:
+        """Incremental/CDC read: the net row-level changes between two
+        snapshots, as a change stream ``(change_op, <row columns>)`` with
+        ``change_op`` in I/U/D — the lake as a *source* for downstream CDC
+        (Iceberg incremental-read analogue).
+
+        Scale story: the manifests are diffed first — only buckets whose
+        file lists differ between the two versions are read at all, so a
+        change touching 1% of buckets scans ~1% of both snapshots; the diff
+        itself is one full-outer join co-partitioned on the keys. Deleted
+        rows carry the FROM-side values (last known row); updates carry the
+        TO-side values."""
+        to_v = self._current_version() if to_version is None else to_version
+        m_from = self._load_manifest(from_version)
+        m_to = self._load_manifest(to_v)
+        schema_to = T.StructType.fromJson(m_to["schema"])
+
+        all_buckets = set(m_from["files"]) | set(m_to["files"])
+        changed = sorted(
+            b for b in all_buckets if m_from["files"].get(b) != m_to["files"].get(b)
+        )
+        f_from = [f for b in changed for f in m_from["files"].get(b, [])]
+        f_to = [f for b in changed for f in m_to["files"].get(b, [])]
+
+        def live(files: list[str], schema_json) -> DataFrame:
+            schema = self._stored_schema(T.StructType.fromJson(schema_json))
+            df = self._read_files(files, schema)
+            return df.where(
+                F.coalesce(F.col(self.op_col), F.lit("U")) != "D"
+            ).drop(self.op_col)
+
+        old = live(f_from, m_from["schema"])
+        new = live(f_to, m_to["schema"])
+
+        # align the FROM side to the TO schema (evolution adds columns)
+        aligned_old = old.select(
+            *[
+                F.col(f.name).cast(f.dataType).alias(f.name)
+                if f.name in old.columns
+                else F.lit(None).cast(f.dataType).alias(f.name)
+                for f in schema_to.fields
+            ]
+        )
+        keys = self.key_cols
+        payload = [f.name for f in schema_to.fields if f.name not in keys]
+        o = aligned_old.select(
+            *keys, F.struct(*[F.col(c) for c in payload]).alias("_old")
+        )
+        n = new.select(*keys, F.struct(*[F.col(c) for c in payload]).alias("_new"))
+        j = o.join(n, on=list(keys), how="full_outer")
+        ord_new = F.struct(*[F.col("_new")[c] for c in self.order_cols])
+        ord_old = F.struct(*[F.col("_old")[c] for c in self.order_cols])
+        change = (
+            F.when(F.col("_old").isNull(), F.lit("I"))
+            .when(F.col("_new").isNull(), F.lit("D"))
+            .when(ord_new != ord_old, F.lit("U"))
+        )
+        picked = F.when(F.col("_new").isNotNull(), F.col("_new")).otherwise(F.col("_old"))
+        return (
+            j.withColumn("change_op", change)
+            .where(F.col("change_op").isNotNull())
+            .select("change_op", *keys, *[picked[c].alias(c) for c in payload])
+        )
+
     def compact(self, tombstone_watermark=None, summary: dict | None = None) -> int:
         """Expire retained tombstones — the GC pass that keeps tombstone
         retention bounded at scale.

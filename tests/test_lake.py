@@ -166,6 +166,39 @@ def test_crash_before_commit_link_preserves_snapshot(spark, tmp_table_dir):
     assert tbl2._load_manifest(1)["summary"]["batch-id"] == "b1"
 
 
+def test_read_changes_incremental_cdc(spark, tmp_table_dir):
+    """read_changes(v0, v2) must equal the brute-force diff of the two
+    snapshots' live states (I/U/D net changes)."""
+    tbl = _mk(spark, tmp_table_dir)
+    for b in range(3):
+        tbl.merge(batch_events(spark, CFG, b), batch_id=f"b{b}")
+
+    def live(v):
+        return {
+            (r["repo"], r["path"]): (r["commit_seq"], r["commit"])
+            for r in tbl.read(version=v).select("repo", "path", "commit_seq", "commit").collect()
+        }
+
+    s0, s2 = live(0), live(2)
+    want = {}
+    for k in s2.keys() - s0.keys():
+        want[k] = ("I", s2[k])
+    for k in s0.keys() - s2.keys():
+        want[k] = ("D", s0[k])
+    for k in s0.keys() & s2.keys():
+        if s0[k] != s2[k]:
+            want[k] = ("U", s2[k])
+
+    got = {
+        (r["repo"], r["path"]): (r["change_op"], (r["commit_seq"], r["commit"]))
+        for r in tbl.read_changes(0, 2).collect()
+    }
+    assert got == want
+    assert len(got) > 0
+    # identity diff is empty
+    assert tbl.read_changes(2, 2).count() == 0
+
+
 def test_read_keys_bucket_pruned_lookup(spark, tmp_table_dir):
     """Point lookup reads only the buckets its keys hash into and returns
     exactly the full-scan-filtered rows."""
