@@ -116,20 +116,40 @@ def fingerprint(col: Column | str) -> Column:
     return F.md5(norm)
 
 
+def _rolling_hash_batch(texts: list) -> list:
+    """Batch rolling hash h = fold(h*257 + byte) mod 2^61-1.
+
+    Vectorized ACROSS the batch: strings are padded into one
+    (n_rows × max_len) byte matrix and the Horner recurrence iterates once
+    per character POSITION, with numpy uint64 ops over every row at each
+    step — the interpreter loop is O(max_len), not O(total_bytes). The
+    modular multiply-by-257 uses the Mersenne identity 2^61 ≡ 1 (mod M):
+    (h<<8) mod M = (h>>53) + ((h & (2^53-1))<<8), so nothing overflows
+    uint64. Per-row Python is O(1) (utf-8 encode only)."""
+    MOD = np.uint64((1 << 61) - 1)
+    S53 = np.uint64(53)
+    S8 = np.uint64(8)
+    LOW53 = np.uint64((1 << 53) - 1)
+
+    bs = [None if v is None else str(v).encode("utf-8") for v in texts]
+    n = len(bs)
+    lens = np.array([0 if b is None else len(b) for b in bs], dtype=np.int64)
+    maxlen = int(lens.max(initial=0))
+    mat = np.zeros((n, max(maxlen, 1)), dtype=np.uint64)
+    for i, b in enumerate(bs):
+        if b:
+            mat[i, : len(b)] = np.frombuffer(b, dtype=np.uint8)
+    h = np.zeros(n, dtype=np.uint64)
+    for j in range(maxlen):
+        h256 = ((h >> S53) + ((h & LOW53) << S8)) % MOD  # (h*256) mod M
+        h = np.where(j < lens, (h256 + h + mat[:, j]) % MOD, h)
+    return [None if b is None else int(v) for b, v in zip(bs, h)]
+
+
 @pandas_udf(LongType())
 def rolling_hash_udf(s: pd.Series) -> pd.Series:
     """Polynomial rolling hash (base 257, mod 2^61-1) over the raw bytes —
     the per-character recurrence isn't expressible as a Column tree, so it
-    runs as an Arrow-batched UDF, vectorized per string via numpy."""
-    MOD = (1 << 61) - 1
-    BASE = 257
-
-    def one(v: str | None) -> int | None:
-        if v is None:
-            return None
-        h = 0
-        for b in v.encode("utf-8"):
-            h = (h * BASE + b) % MOD
-        return h
-
-    return s.map(one).astype("Int64")
+    runs as an Arrow-batched UDF; see ``_rolling_hash_batch`` for the
+    across-the-batch vectorization."""
+    return pd.Series(_rolling_hash_batch(list(s)), dtype="Int64")

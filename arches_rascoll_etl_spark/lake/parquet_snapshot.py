@@ -65,10 +65,26 @@ from .table import LakeTable, MergeStats
 
 _BUCKET = "_bucket"
 
+# Manifest format identity. ``BUCKET_FN_ID`` names the exact bucket
+# function (murmur3 F.hash over the key columns, pmod n_buckets — the
+# Spark HashPartitioning expression); it is recorded in every manifest and
+# checked on every open, so a table written under a different bucket
+# function (or by a pre-versioning build) is refused instead of silently
+# mis-pruned — duplicate keys across buckets and wrong COW pruning are the
+# failure modes this guards against.
+FORMAT_VERSION = 2
+BUCKET_FN_ID = "murmur3-pmod-v1"
+
 
 class CommitConflictError(RuntimeError):
     """Another writer committed this version first. The caller must re-read
     the head and redo the merge (safe: batch-id idempotence)."""
+
+
+class IncompatibleTableError(RuntimeError):
+    """The on-disk table's bucket function / key layout doesn't match this
+    build. Refusing is the only safe option: merging with a different
+    bucket function would scatter duplicate keys across buckets."""
 
 # numeric widening lattice (Iceberg-style type promotion)
 _WIDEN = {
@@ -83,9 +99,20 @@ _WIDEN = {
 }
 
 
-def _merge_schemas(old: T.StructType, new: T.StructType) -> T.StructType:
+def _merge_schemas(
+    old: T.StructType, new: T.StructType, key_cols: Iterable[str] = ()
+) -> T.StructType:
     """Iceberg-style evolution: keep old field order, append new fields,
-    widen numeric types, never drop columns."""
+    widen numeric types, never drop columns.
+
+    Widening is REJECTED on key columns: the bucket function hashes the
+    stored key dtypes, and murmur3 is dtype-sensitive (hash(int 5) !=
+    hash(long 5)) — widening a key would silently re-bucket future writes
+    while old untouched buckets keep the old layout, scattering duplicate
+    keys across buckets. Batches may still send a *narrower* key dtype
+    (int where the table stores long); merge casts keys to the stored
+    dtype before any hashing."""
+    protected = set(key_cols)
     fields: list[T.StructField] = []
     new_by_name = {f.name: f for f in new.fields}
     for f in old.fields:
@@ -98,6 +125,12 @@ def _merge_schemas(old: T.StructType, new: T.StructType) -> T.StructType:
                 raise ValueError(
                     f"incompatible evolution for column {f.name!r}: "
                     f"{f.dataType.simpleString()} -> {nf.dataType.simpleString()}"
+                )
+            if f.name in protected and wide != f.dataType.typeName():
+                raise ValueError(
+                    f"cannot widen key column {f.name!r} "
+                    f"({f.dataType.simpleString()} -> {wide}): the bucket hash "
+                    "is dtype-sensitive; cast the batch to the stored key dtype instead"
                 )
             fields.append(T.StructField(f.name, T.LongType() if wide == "long" else T.DoubleType(), True))
     old_names = {f.name for f in old.fields}
@@ -143,7 +176,53 @@ class SnapshotTable(LakeTable):
 
     def _load_manifest(self, version: int) -> dict:
         with open(self._manifest_path(version)) as f:
-            return json.load(f)
+            m = json.load(f)
+        self._validate_manifest(m)
+        return m
+
+    def _validate_manifest(self, m: dict) -> None:
+        """Refuse tables written under a different bucket function or key
+        layout (ADVICE: manifests must carry a bucket-fn id — a silent
+        function change mis-buckets every subsequent merge/prune). The
+        bucket COUNT, by contrast, is a table property: adopt the
+        manifest's value so reopening with a different constructor default
+        can't split the table across two layouts."""
+        fn = m.get("bucket_fn", "<unversioned pre-v2 table>")
+        if fn != BUCKET_FN_ID:
+            raise IncompatibleTableError(
+                f"table {self.path} was written with bucket function {fn!r}; "
+                f"this build uses {BUCKET_FN_ID!r} — rewrite the table "
+                "(read old build -> overwrite new) instead of merging into it"
+            )
+        if m.get("key_cols") != self.key_cols or m.get("order_cols") != self.order_cols:
+            raise IncompatibleTableError(
+                f"table {self.path} has key/order columns "
+                f"{m.get('key_cols')}/{m.get('order_cols')}; "
+                f"this handle was opened with {self.key_cols}/{self.order_cols}"
+            )
+        if m.get("n_buckets") != self.n_buckets:
+            self.n_buckets = int(m["n_buckets"])
+
+    def _new_manifest(
+        self,
+        version: int,
+        parent: int | None,
+        schema_json: dict,
+        files: dict,
+        summary: dict,
+    ) -> dict:
+        return {
+            "format-version": FORMAT_VERSION,
+            "bucket_fn": BUCKET_FN_ID,
+            "version": version,
+            "parent_version": parent,
+            "schema": schema_json,
+            "n_buckets": self.n_buckets,
+            "key_cols": self.key_cols,
+            "order_cols": self.order_cols,
+            "files": files,
+            "summary": summary,
+        }
 
     def _commit(self, manifest: dict) -> None:
         """CAS commit: the manifest is fully written to a unique attempt
@@ -199,6 +278,11 @@ class SnapshotTable(LakeTable):
         manifest, not snapshot history, is the replay's skip authority,
         and the lake-side batch-id dedup still covers the retained window.
         """
+        if keep_last < 1:
+            raise ValueError(
+                f"keep_last must be >= 1 (got {keep_last}): keeping zero "
+                "snapshots would delete the current manifest and all data"
+            )
         cur = self._current_version()
         if cur is None:
             return {"removed_snapshots": 0, "removed_files": 0}
@@ -223,9 +307,10 @@ class SnapshotTable(LakeTable):
                             os.unlink(p)
                             removed_files += 1
             os.unlink(self._manifest_path(m["version"]))
-        # prune empty per-commit data dirs left behind
+        # prune empty per-commit data dirs left behind (a table whose only
+        # commits were empty batches has no data dir at all)
         data_root = os.path.join(self.path, "data")
-        for commit_dir in os.listdir(data_root):
+        for commit_dir in os.listdir(data_root) if os.path.isdir(data_root) else []:
             cd = os.path.join(data_root, commit_dir)
             for bucket_dir in os.listdir(cd) if os.path.isdir(cd) else []:
                 bd = os.path.join(cd, bucket_dir)
@@ -356,17 +441,10 @@ class SnapshotTable(LakeTable):
         files = self._write_buckets(data, commit_id)
         parent = self._current_version()
         version = 0 if parent is None else parent + 1
-        manifest = {
-            "version": version,
-            "parent_version": parent,
-            "schema": df.schema.jsonValue(),
-            "n_buckets": self.n_buckets,
-            "key_cols": self.key_cols,
-            "order_cols": self.order_cols,
-            "files": files,
-            "summary": {"operation": "overwrite", "wall_ms": round((time.time() - t0) * 1000, 1), **(summary or {})},
-        }
-        self._commit(manifest)
+        self._commit(self._new_manifest(
+            version, parent, df.schema.jsonValue(), files,
+            {"operation": "overwrite", "wall_ms": round((time.time() - t0) * 1000, 1), **(summary or {})},
+        ))
         return version
 
     def read_changes(self, from_version: int, to_version: int | None = None) -> DataFrame:
@@ -476,18 +554,10 @@ class SnapshotTable(LakeTable):
         files_map = {b: fl for b, fl in m["files"].items() if b not in tomb_buckets}
         files_map.update(new_files)
         version = cur + 1
-        self._commit(
-            {
-                "version": version,
-                "parent_version": cur,
-                "schema": m["schema"],
-                "n_buckets": self.n_buckets,
-                "key_cols": self.key_cols,
-                "order_cols": self.order_cols,
-                "files": files_map,
-                "summary": {"operation": "compact", **(summary or {})},
-            }
-        )
+        self._commit(self._new_manifest(
+            version, cur, m["schema"], files_map,
+            {"operation": "compact", **(summary or {})},
+        ))
         return version
 
     def merge(self, batch: DataFrame, batch_id: str, summary: dict | None = None) -> MergeStats:
@@ -514,10 +584,34 @@ class SnapshotTable(LakeTable):
             return MergeStats(batch_id=bid, applied=False, skipped_reason="already-committed",
                               total_buckets=self.n_buckets)
 
-        # ---- job 1: affected buckets + rows_in, key columns only ----
+        # Resolve the merged schema BEFORE any hashing: the bucket function
+        # (murmur3) is dtype-sensitive, so affected buckets must be computed
+        # on keys cast to the STORED key dtypes — hashing the batch's raw
+        # dtypes (e.g. int where the table stores long) would compute a
+        # different bucket set than the one the aligned rows are written
+        # under, and the manifest update would then replace untouched
+        # buckets' file lists, silently dropping their rows.
+        exists = self.exists()
+        cur_version = self._current_version()
+        old_manifest = self._load_manifest(cur_version) if exists else None
+        batch_schema = T.StructType(
+            [f for f in batch.schema.fields if f.name != self.op_col]
+        )
+        if exists:
+            old_schema = T.StructType.fromJson(old_manifest["schema"])
+            new_schema = _merge_schemas(old_schema, batch_schema, self.key_cols)
+        else:
+            old_schema = None
+            new_schema = batch_schema
+
+        # ---- job 1: affected buckets + rows_in, key columns only,
+        #      keys cast to the merged (== stored) dtypes ----
+        keys_cast = batch.select(
+            *[F.col(k).cast(new_schema[k].dataType).alias(k) for k in self.key_cols]
+        )
         bucket_rows = (
-            batch.select(*self.key_cols)
-            .groupBy(self._bucket_col(batch).alias(_BUCKET))
+            keys_cast
+            .groupBy(self._bucket_col(keys_cast).alias(_BUCKET))
             .agg(F.count("*").alias("n_events"))
             .collect()
         )
@@ -525,40 +619,26 @@ class SnapshotTable(LakeTable):
         affected = sorted(int(r[_BUCKET]) for r in bucket_rows)
         affected_set = {str(b) for b in affected}
 
-        exists = self.exists()
-        cur_version = self._current_version()
-        old_manifest = self._load_manifest(cur_version) if exists else None
-        batch_schema = T.StructType(
-            [f for f in batch.schema.fields if f.name != self.op_col]
-        )
-
         if rows_in == 0:
             # still commit: the batch id must be recorded for resume skips
             version = 0 if cur_version is None else cur_version + 1
-            self._commit({
-                "version": version,
-                "parent_version": cur_version,
-                "schema": (old_manifest or {}).get("schema", batch_schema.jsonValue()),
-                "n_buckets": self.n_buckets,
-                "key_cols": self.key_cols,
-                "order_cols": self.order_cols,
-                "files": (old_manifest or {}).get("files", {}),
-                "summary": {"operation": "merge", "batch-id": bid, **(summary or {})},
-            })
+            self._commit(self._new_manifest(
+                version, cur_version,
+                (old_manifest or {}).get("schema", batch_schema.jsonValue()),
+                (old_manifest or {}).get("files", {}),
+                {"operation": "merge", "batch-id": bid, **(summary or {})},
+            ))
             return MergeStats(batch_id=bid, applied=True, rows_in=0,
                               total_buckets=self.n_buckets, snapshot_version=version,
                               wall_ms=(time.time() - t0) * 1000)
 
         # ---- job 2: fused union + LWW + bucketed write ----
         if exists:
-            old_schema = T.StructType.fromJson(old_manifest["schema"])
-            new_schema = _merge_schemas(old_schema, batch_schema)
             target_files = [
                 f for b, fl in old_manifest["files"].items() if b in affected_set for f in fl
             ]
             target = self._read_files(target_files, self._stored_schema(old_schema))
         else:
-            new_schema = batch_schema
             target = None
 
         def align(df: DataFrame) -> DataFrame:
@@ -606,16 +686,10 @@ class SnapshotTable(LakeTable):
         files.update(new_files)
 
         version = 0 if cur_version is None else cur_version + 1
-        self._commit({
-            "version": version,
-            "parent_version": cur_version,
-            "schema": new_schema.jsonValue(),
-            "n_buckets": self.n_buckets,
-            "key_cols": self.key_cols,
-            "order_cols": self.order_cols,
-            "files": files,
-            "summary": {"operation": "merge", "batch-id": bid, **(summary or {})},
-        })
+        self._commit(self._new_manifest(
+            version, cur_version, new_schema.jsonValue(), files,
+            {"operation": "merge", "batch-id": bid, **(summary or {})},
+        ))
         return MergeStats(
             batch_id=bid, applied=True, rows_in=rows_in,
             deletes=n_del, upserts=n_keys - n_del,

@@ -5,11 +5,14 @@ Spark-first formulations, each with an explicit scale story:
 * exact_dedup        — hash groupBy on a content digest; map-side combine,
                        one shuffle, skew-free (digests are uniform).
 * shingles           — character k-grams as a Column expression (no UDF).
-* minhash_signature  — K independent min-hashes; each hash is
-                       min(md5(i || shingle)) so the oracle (DuckDB) can
-                       reproduce it byte-for-byte. Computed with
-                       explode-free higher-order functions (transform +
-                       array_min) — stays in codegen.
+* minhash_signature  — K independent min-hashes via ONE md5 per shingle
+                       plus K affine permutations ((a_i*h + b_i) mod p,
+                       p = 2^31-1): the classic universal-hash family. One
+                       digest amortized over all K hashes (the old
+                       md5-per-hash formulation cost K digests per shingle
+                       — the dominant bench cost); integer math keeps the
+                       DuckDB oracle byte-exact. Computed with explode-free
+                       higher-order functions (transform + array_min).
 * lsh_candidate_pairs— banding: equal band-signature → candidate pair.
                        The only shuffle is groupBy(band_key); no O(n²)
                        cross join ever materializes. At 100 TB this is the
@@ -17,22 +20,21 @@ Spark-first formulations, each with an explicit scale story:
 * ngram_jaccard_pairs— exact Jaccard via shingle explode + self-join
                        (bounded by a blocking key to stay sub-quadratic);
                        used to verify LSH candidates at small scale.
-* simhash_udf        — 64-bit simhash over shingle hashes, Arrow-batched
-                       numpy (bit-parallel, no per-char Python loops).
+* simhash_table      — 64-bit simhash over word tokens as a pure
+                       DataFrame expression: explode tokens → md5 → 64
+                       per-bit vote sums (one hash-agg, map-side combine)
+                       → sign bits packed into a signed long. No Python at
+                       all (the old pandas-UDF version hashed tokens in an
+                       interpreted loop), and md5 + integer bit math make
+                       the DuckDB oracle exact.
 * embedding_neardup  — cosine ≥ threshold pairs via LSH-style blocking on
                        coarse hyperplane signs (see similarity.py).
 """
 
 from __future__ import annotations
 
-from collections.abc import Sequence
-
-import numpy as np
-import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.functions import pandas_udf
-from pyspark.sql.types import LongType
 
 
 def _c(col: Column | str) -> Column:
@@ -68,21 +70,32 @@ def word_shingles(col: Column | str, k: int = 3) -> Column:
     )
 
 
+# Universal-hash family for minhash: h(s) = first 32 bits of md5(s), then
+# permutation i = (A[i] * (h mod P) + B[i]) mod P with P = 2^31-1 (Mersenne).
+# Products stay < 2^62, so the whole family is exact signed-64-bit integer
+# math in both Spark and DuckDB (the oracle embeds the same literals).
+# A/B are fixed LCG-style constants — deterministic, no runtime randomness.
+MINHASH_P = 2147483647
+MINHASH_A = [((1103515245 * (i + 1) + 12345) % MINHASH_P) or 1 for i in range(64)]
+MINHASH_B = [(22695477 * (i + 1) + 1) % MINHASH_P for i in range(64)]
+
+
+def _md5_h32(col: Column) -> Column:
+    """First 32 bits of md5(col) as a long in [0, 2^32), reduced mod P.
+    One digest per value — the K permutations are derived arithmetically."""
+    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long") % F.lit(MINHASH_P)
+
+
+def _affine(h: Column, i: int) -> Column:
+    return (F.lit(MINHASH_A[i]) * h + F.lit(MINHASH_B[i])) % F.lit(MINHASH_P)
+
+
 def minhash_signature(col: Column | str, k_shingles: int = 5, n_hashes: int = 16) -> Column:
-    """array<string> of n_hashes min-hash values.
-
-    Hash family i = md5(i:shingle); min over the shingle set under md5's
-    ordering is a uniform random permutation per i. String mins keep the
-    whole computation reproducible in ANSI SQL (DuckDB oracle)."""
+    """array<long> of n_hashes min-hash values (one md5 per shingle + K
+    affine permutations — see module docstring)."""
     sh = shingles(col, k_shingles)
-
-    def _hash_i(i: int):
-        prefix = f"{i}:"
-        # single-param lambda: F.transform must see (element) only — a
-        # two-param lambda would be called as (element, index)
-        return lambda s: F.md5(F.concat(F.lit(prefix), s))
-
-    mins = [F.array_min(F.transform(sh, _hash_i(i))) for i in range(n_hashes)]
+    hs = F.transform(sh, lambda s: _md5_h32(s))
+    mins = [F.array_min(F.transform(hs, lambda h, i=i: _affine(h, i))) for i in range(n_hashes)]
     return F.array(*mins)
 
 
@@ -97,22 +110,24 @@ def minhash_table(
 
     Scale path: the higher-order-function formulation
     (``minhash_signature``) evaluates its lambdas interpreted, per element;
-    this one keeps every expression (substring + md5) inside whole-stage
-    codegen and gets map-side partial aggregation (per-partition per-doc
-    mins) before the shuffle. Duplicate shingles need no dedup — min() is
-    multiset-invariant — so no array_distinct, no per-doc array
-    materialization: explode an index sequence and substring per row."""
+    this one keeps every expression (substring + md5 + affine permutation)
+    inside whole-stage codegen and gets map-side partial aggregation
+    (per-partition per-doc mins) before the shuffle. ONE md5 per shingle —
+    the K hash values are affine permutations of it ((A[i]*h+B[i]) mod
+    2^31-1), so digest cost no longer multiplies with K (the old
+    md5-per-hash version spent 29% of the whole bench on digests).
+    Duplicate shingles need no dedup — min() is multiset-invariant — so no
+    array_distinct, no per-doc array materialization: explode an index
+    sequence and substring per row."""
     n = F.greatest(F.length(_c(text_col)) - (k_shingles - 1), F.lit(1))
     base = df.select(
         F.col(id_col).alias("_id"),
         F.explode(F.sequence(F.lit(1), n)).alias("_i"),
         _c(text_col).alias("_t"),
     ).select("_id", F.col("_t").substr(F.col("_i"), F.lit(k_shingles)).alias("_sh"))
-    aggs = [
-        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("_sh")))).alias(f"mh{i}")
-        for i in range(n_hashes)
-    ]
-    return base.groupBy("_id").agg(*aggs)
+    h = base.select("_id", _md5_h32(F.col("_sh")).alias("_h"))
+    aggs = [F.min(_affine(F.col("_h"), i)).alias(f"mh{i}") for i in range(n_hashes)]
+    return h.groupBy("_id").agg(*aggs)
 
 
 def lsh_candidate_pairs(
@@ -159,12 +174,22 @@ def ngram_jaccard_pairs(
     block_col: str | None = None,
     k_words: int = 3,
     threshold: float = 0.5,
+    max_doc_freq: int | None = 1000,
 ) -> DataFrame:
     """Exact word-n-gram Jaccard pairs ≥ threshold.
 
     Sub-quadratic: explode shingles → self-join on shingle (+ optional
     blocking column) → intersection counts; union derived from per-doc
-    distinct counts. Only docs sharing ≥1 shingle ever pair up."""
+    distinct counts. Only docs sharing ≥1 shingle ever pair up.
+
+    ``max_doc_freq`` (ON by default) drops shingles appearing in more than
+    that many documents before the self-join — the standard guard against
+    the quadratic blowup of boilerplate shingles ("of the and" appearing in
+    every doc would otherwise join n² rows). Jaccard becomes approximate
+    for pairs whose overlap was ONLY boilerplate (their union counts still
+    include capped shingles, so reported similarity is a lower bound);
+    genuinely near-duplicate pairs share plenty of rare shingles and are
+    unaffected. Pass ``None`` to disable (exact, unsafe at scale)."""
     base = df.select(
         _c(id_col).alias("_id"),
         *( [_c(block_col).alias("_blk")] if block_col else [] ),
@@ -172,6 +197,16 @@ def ngram_jaccard_pairs(
     )
     sizes = base.groupBy("_id").agg(F.count("*").alias("n_sh"))
     join_keys = ["sh"] + (["_blk"] if block_col else [])
+    if max_doc_freq is not None:
+        # shingle doc-frequency cap: one extra hash-agg on the same keys,
+        # then a semi-join that Catalyst plans alongside the main join
+        rare = (
+            base.groupBy(*join_keys)
+            .agg(F.count("*").alias("_df"))
+            .where(F.col("_df") <= max_doc_freq)
+            .select(*join_keys)
+        )
+        base = base.join(rare, on=join_keys, how="left_semi")
     a, b = base.alias("a"), base.alias("b")
     inter = (
         a.join(b, on=join_keys)
@@ -189,40 +224,56 @@ def ngram_jaccard_pairs(
     )
 
 
-@pandas_udf(LongType())
-def simhash64_udf(s: pd.Series) -> pd.Series:
-    """64-bit SimHash over word tokens, Arrow-batched.
+def simhash_table(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(_id, simhash): 64-bit SimHash over word tokens as pure Column
+    expressions — no Python anywhere.
 
-    Per string: hash each token to 64 bits (blake2b, deterministic), sum
-    ±1 per bit position, sign → fingerprint. numpy bit-unpacking keeps the
-    inner loop vectorized (no per-bit Python)."""
-    import hashlib
-
-    def one(v: str | None):
-        if v is None:
-            return None
-        toks = v.split()
-        if not toks:
-            return 0
-        hs = np.frombuffer(
-            b"".join(hashlib.blake2b(t.encode("utf-8"), digest_size=8).digest() for t in toks),
-            dtype=">u8",
-        )
-        bits = np.unpackbits(hs.view(np.uint8).reshape(-1, 8), axis=1)  # (n,64)
-        votes = bits.sum(axis=0).astype(np.int64) * 2 - len(toks)
-        fp = 0
-        for bit in (votes > 0).astype(np.uint8):
-            fp = (fp << 1) | int(bit)
-        return fp - (1 << 64) if fp >= (1 << 63) else fp  # to signed long
-
-    return s.map(one).astype("Int64")
+    Token hash = first 64 bits of md5(token) (16 hex nibbles). Votes: for
+    each of the 64 bit positions, sum ±1 across tokens (one hash-agg with
+    map-side combine — a boilerplate-heavy corpus partially aggregates
+    before the shuffle). Fingerprint = two's-complement packing of the
+    vote signs (bit 0 is the sign bit, weight -2^63). Tokenless docs get
+    simhash 0 via a zero-weight sentinel token, so no post-join is needed
+    and every input row appears exactly once in the output. md5 + integer
+    bit math keep the DuckDB oracle byte-exact (the previous pandas-UDF
+    used blake2b, which no SQL engine exposes, and hashed tokens in an
+    interpreted per-token loop)."""
+    tok_arr = F.filter(
+        F.split(F.trim(_c(text_col)), r"\s+"), lambda t: F.length(t) > 0
+    )
+    toks = df.select(
+        _c(id_col).alias("_id"),
+        # zero-weight sentinel: keeps empty docs in the aggregation
+        F.explode(F.concat(F.array(F.lit("")), tok_arr)).alias("_tok"),
+    )
+    weighted = toks.select(
+        "_id",
+        (F.length("_tok") > 0).cast("int").alias("_w"),
+        F.md5("_tok").alias("_m"),
+    )
+    nibs = weighted.select(
+        "_id",
+        "_w",
+        *[F.conv(F.substring("_m", i + 1, 1), 16, 10).cast("int").alias(f"_n{i}") for i in range(16)],
+    )
+    vote_aggs = []
+    for j in range(64):
+        bit = F.shiftright(F.col(f"_n{j // 4}"), 3 - (j % 4)).bitwiseAND(F.lit(1))
+        vote_aggs.append(F.sum((bit * 2 - 1) * F.col("_w")).alias(f"_v{j}"))
+    votes = nibs.groupBy("_id").agg(*vote_aggs)
+    fp = None
+    for j in range(64):
+        w = -(1 << 63) if j == 0 else (1 << (63 - j))
+        term = F.when(F.col(f"_v{j}") > 0, F.lit(w).cast("long")).otherwise(F.lit(0).cast("long"))
+        fp = term if fp is None else fp + term
+    return votes.select("_id", fp.alias("simhash"))
 
 
 def simhash_neardup_pairs(df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3) -> DataFrame:
     """SimHash near-dup candidates: block on 16-bit chunks (a pair within
     hamming ≤3 of 64 bits must agree on ≥1 of 4 chunks), verify hamming via
     bit_count(xor). Shuffle = groupBy(chunk value), never O(n²)."""
-    sh = df.select(_c(id_col).alias("_id"), simhash64_udf(_c(text_col)).alias("sim"))
+    sh = simhash_table(df, id_col, text_col).withColumnRenamed("simhash", "sim")
     chunks = sh.select(
         "_id", "sim",
         F.explode(F.array(*[

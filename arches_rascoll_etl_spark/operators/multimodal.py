@@ -46,7 +46,7 @@ IMAGE_FEATURES_SCHEMA = T.StructType(
     [
         T.StructField("media_id", T.LongType()),
         T.StructField("payload_bytes", T.LongType()),
-        T.StructField("feature", T.ArrayType(T.FloatType())),
+        T.StructField("feature", T.ArrayType(T.LongType())),
     ]
 )
 
@@ -75,8 +75,12 @@ def image_features(df: DataFrame, batch_size_hint: int = 256) -> DataFrame:
             feats = []
             for payload in pdf["payload"]:
                 img = _decode_image_stub(bytes(payload))
-                # 'feature extraction': per-row mean pooling (stub for a CNN)
-                feats.append((img.mean(axis=1) / 255.0).astype(np.float32).tolist())
+                # 'feature extraction': per-row sum pooling (stub for a CNN
+                # head). Integer-exact on purpose: the whole image pipeline
+                # stays oracle-checkable end-to-end (DuckDB reproduces the
+                # byte sums from the payload hex), unlike a float pooling
+                # whose formatting/rounding differs across engines.
+                feats.append(img.astype(np.int64).sum(axis=1).tolist())
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
@@ -92,34 +96,41 @@ AUDIO_FEATURES_SCHEMA = T.StructType(
     [
         T.StructField("media_id", T.LongType()),
         T.StructField("n_samples", T.LongType()),
+        T.StructField("energy", T.LongType()),
         T.StructField("rms", T.DoubleType()),
-        T.StructField("spectral_bands", T.ArrayType(T.FloatType())),
+        T.StructField("band_abs", T.ArrayType(T.LongType())),
     ]
 )
 
 
 def audio_features(df: DataFrame) -> DataFrame:
-    """Decode → RMS + coarse band energies per clip, streaming Arrow batches.
-    STUB decode: payload bytes as int16 PCM stand-in (real impl: soundfile/
-    librosa load); the numpy feature math and the mapInPandas plumbing are
-    the real, tested part."""
+    """Decode → sample count, total energy, RMS and coarse band magnitudes
+    per clip, streaming Arrow batches. STUB decode: payload bytes as int16
+    LE PCM stand-in (real impl: soundfile/librosa load); the numpy feature
+    math and the mapInPandas plumbing are the real, tested part.
+
+    Feature math is integer-first on purpose: ``energy`` (sum of squared
+    samples) and ``band_abs`` (abs-sum per 4-way strided slice — stub for
+    an FFT band split) are exact int64, and ``rms = sqrt(energy/n)`` uses
+    only correctly-rounded IEEE ops, so a SQL oracle reproduces every
+    column bit-for-bit."""
 
     def _run(batches):
         for pdf in batches:
-            ids, ns, rms, bands = [], [], [], []
+            ids, ns, energies, rms, bands = [], [], [], [], []
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
                 raw = bytes(payload)
-                pcm = np.frombuffer(raw[: len(raw) - len(raw) % 2], dtype="<i2").astype(np.float64)
+                pcm = np.frombuffer(raw[: len(raw) - len(raw) % 2], dtype="<i2").astype(np.int64)
                 if len(pcm) == 0:
-                    pcm = np.zeros(1)
+                    pcm = np.zeros(1, dtype=np.int64)
+                energy = int((pcm * pcm).sum())
                 ids.append(mid)
                 ns.append(len(pcm))
-                rms.append(float(np.sqrt((pcm**2).mean())))
-                # 4 coarse 'spectral' bands: energy of strided slices (stub
-                # for an FFT band split — deterministic, vectorized)
-                bands.append([float(np.abs(pcm[i::4]).mean()) for i in range(4)])
+                energies.append(energy)
+                rms.append(float(np.sqrt(energy / len(pcm))))
+                bands.append([int(np.abs(pcm[i::4]).sum()) for i in range(4)])
             yield pd.DataFrame(
-                {"media_id": ids, "n_samples": ns, "rms": rms, "spectral_bands": bands}
+                {"media_id": ids, "n_samples": ns, "energy": energies, "rms": rms, "band_abs": bands}
             )
 
     return df.select("media_id", "payload").mapInPandas(_run, AUDIO_FEATURES_SCHEMA)

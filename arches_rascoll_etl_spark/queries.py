@@ -56,6 +56,114 @@ def _dec(col, p=18, s=4):
     return col.cast(f"decimal({p},{s})")
 
 
+# ----------------------------------------------------------------------------
+# Generated-oracle helpers. Several operators (minhash with affine
+# permutations, simhash bit votes, hyperplane LSH, media byte math) have
+# exact ANSI-SQL twins that are tedious to write by hand — the SQL strings
+# are generated here from the same constants the Spark operators use, so
+# both sides stay in lockstep by construction.
+
+_HEXDIGITS = "0123456789abcdef"
+
+
+def _sql_hexval(expr: str, i: int) -> str:
+    """SQL: value (0-15) of 1-based hex digit ``i`` of string ``expr``."""
+    return f"(strpos('{_HEXDIGITS}', substr({expr}, {i}, 1)) - 1)"
+
+
+def _sql_hex_byte(expr: str, j: int) -> str:
+    """SQL: byte ``j`` (0-based) of the hex string ``expr``."""
+    return f"({_sql_hexval(expr, 2 * j + 1)}*16 + {_sql_hexval(expr, 2 * j + 2)})"
+
+
+def _minhash_sig_cte(n_hashes: int, k: int) -> str:
+    """CTE chain ending in ``sig(doc_id, mh0..)`` — mirrors
+    operators.dedup.minhash_table: one md5 per shingle, first 32 bits as an
+    int, K affine permutations mod 2^31-1."""
+    from .operators.dedup import MINHASH_A, MINHASH_B, MINHASH_P
+
+    hexpr = " + ".join(f"{_sql_hexval('m', i + 1)}*{16 ** (7 - i)}" for i in range(8))
+    mh = ",\n             ".join(
+        f"MIN(({MINHASH_A[i]} * hv + {MINHASH_B[i]}) % {MINHASH_P}) AS mh{i}"
+        for i in range(n_hashes)
+    )
+    return f"""sh AS (
+      SELECT doc_id,
+             unnest([substr(text, i, {k}) for i in range(1, GREATEST(LENGTH(text) - {k - 1}, 1) + 1)]) AS s
+      FROM documents
+    ),
+    hm AS (SELECT doc_id, md5(s) AS m FROM sh),
+    hv_t AS (SELECT doc_id, (({hexpr}) % {MINHASH_P}) AS hv FROM hm),
+    sig AS (
+      SELECT doc_id,
+             {mh}
+      FROM hv_t GROUP BY doc_id
+    )"""
+
+
+def _simhash_fp_cte() -> str:
+    """CTE chain ending in ``fp(doc_id, simhash)`` — mirrors
+    operators.dedup.simhash_table: md5 per token, 64 bit-vote sums, signs
+    packed two's-complement into a signed BIGINT (empty docs → 0)."""
+    votes = ",\n             ".join(
+        f"SUM(2*(({_sql_hexval('m', j // 4 + 1)} >> {3 - j % 4}) & 1) - 1) AS v{j}"
+        for j in range(64)
+    )
+    terms = " + ".join(
+        "CASE WHEN v{j} > 0 THEN CAST({w} AS BIGINT) ELSE 0 END".format(
+            j=j, w="(-9223372036854775807 - 1)" if j == 0 else (1 << (63 - j))
+        )
+        for j in range(64)
+    )
+    return f"""toks AS (
+      SELECT doc_id, unnest(regexp_split_to_array(TRIM(text), '\\s+')) AS tok FROM documents
+    ),
+    tm AS (SELECT doc_id, md5(tok) AS m FROM toks WHERE LENGTH(tok) > 0),
+    votes AS (SELECT doc_id,
+             {votes}
+      FROM tm GROUP BY doc_id),
+    fp0 AS (SELECT doc_id, CAST({terms} AS BIGINT) AS simhash FROM votes),
+    fp AS (
+      SELECT d.doc_id, COALESCE(fp0.simhash, 0) AS simhash
+      FROM documents d LEFT JOIN fp0 USING (doc_id)
+    )"""
+
+
+def _lsh_sig_sql(e_expr: str, dim: int, n_planes: int, seed: int = 42) -> str:
+    """SQL: the hyperplane-sign signature of vector ``e_expr`` — mirrors
+    operators.similarity.lsh_signature (plane literals embedded verbatim;
+    repr() round-trips doubles exactly)."""
+    from .operators.similarity import _planes
+
+    terms = " + ".join(
+        "CASE WHEN list_dot_product({e}, [{p}]) >= 0 THEN {w} ELSE 0 END".format(
+            e=e_expr,
+            p=", ".join(repr(float(x)) for x in plane),
+            w=1 << (n_planes - 1 - i),
+        )
+        for i, plane in enumerate(_planes(dim, n_planes, seed))
+    )
+    return f"({terms})"
+
+
+# 64-byte deterministic media payload used by the q34/q42/q45 media-stub
+# queries: sha256(text) || sha256(text:2) — both engines can derive every
+# byte of it (Spark: to_binary(hex); DuckDB: hex-digit math / unhex).
+def _media_payload_col():
+    return F.to_binary(
+        F.concat(
+            F.sha2(F.col("text"), 256),
+            F.sha2(F.concat(F.col("text"), F.lit(":2")), 256),
+        ),
+        F.lit("hex"),
+    )
+
+
+_MEDIA_HX_CTE = """h AS (
+      SELECT doc_id AS media_id, sha256(text) || sha256(text || ':2') AS hx FROM documents
+    )"""
+
+
 # ---------------------------------------------------------------- scans/aggs
 
 @query(
@@ -321,12 +429,14 @@ def q14(spark, sf):
     """
     SELECT o_orderkey, 'Acquisition of Order ' || CAST(o_orderkey AS VARCHAR) AS prov_name,
            CASE WHEN o_totalprice >= 200000 THEN 'large' WHEN o_totalprice >= 50000 THEN 'medium' ELSE 'small' END AS size_class,
-           CAST(o_totalprice AS DECIMAL(18,4)) AS price_dec
+           CAST(CAST(o_totalprice AS DECIMAL(18,4)) AS DOUBLE) AS price_dec
     FROM orders
     """,
 )
 def q15(spark, sf):
-    """F8 name synthesis + P7 CASE WHEN + P8 casts."""
+    """F8 name synthesis + P7 CASE WHEN + P8 casts. price_dec follows the
+    module's oracle rule: exact DECIMAL(18,4) intermediate, final cast to
+    DOUBLE on both sides (DECIMAL renders differently across engines)."""
     o = _t(spark, sf, "orders")
     return o.select(
         "o_orderkey",
@@ -335,7 +445,7 @@ def q15(spark, sf):
         .when(F.col("o_totalprice") >= 50000, "medium")
         .otherwise("small")
         .alias("size_class"),
-        _dec(F.col("o_totalprice")).alias("price_dec"),
+        _dec(F.col("o_totalprice")).cast("double").alias("price_dec"),
     )
 
 
@@ -560,53 +670,39 @@ def q26(spark, sf):
 
 @query(
     "q27_minhash_signatures",
-    """
-    WITH sh AS (
-      SELECT doc_id,
-             list_distinct([substr(text, i, 8) for i in range(1, GREATEST(LENGTH(text) - 7, 1) + 1)]) AS shingles
-      FROM documents
-    )
-    SELECT doc_id,
-           list_min([md5('0:' || s) for s in shingles]) AS mh0,
-           list_min([md5('1:' || s) for s in shingles]) AS mh1,
-           list_min([md5('2:' || s) for s in shingles]) AS mh2,
-           list_min([md5('3:' || s) for s in shingles]) AS mh3
-    FROM sh
-    """,
+    None,  # generated below (affine-permutation minhash over one md5)
 )
 def q27(spark, sf):
-    """MinHash signatures (k=8 char shingles, 4 hashes) — the LSH building
-    block, byte-identical to the SQL oracle."""
+    """MinHash signatures (k=8 char shingles, 4 hashes from ONE md5 per
+    shingle + affine permutations) — the LSH building block, integer-exact
+    vs the generated SQL oracle."""
     d = _t(spark, sf, "documents")
     return dedup.minhash_table(d, "doc_id", "text", k_shingles=8, n_hashes=4).withColumnRenamed("_id", "doc_id")
 
 
+_ORACLES["q27_minhash_signatures"] = f"""
+    WITH {_minhash_sig_cte(n_hashes=4, k=8)}
+    SELECT doc_id, mh0, mh1, mh2, mh3 FROM sig
+    """
+
+
 @query(
     "q28_minhash_lsh_pairs",
-    """
-    WITH sh AS (
-      SELECT doc_id,
-             list_distinct([substr(text, i, 8) for i in range(1, GREATEST(LENGTH(text) - 7, 1) + 1)]) AS shingles
-      FROM documents
-    ),
-    sig AS (
-      SELECT doc_id,
-             list_min([md5('0:' || s) for s in shingles]) AS mh0,
-             list_min([md5('1:' || s) for s in shingles]) AS mh1,
-             list_min([md5('2:' || s) for s in shingles]) AS mh2,
-             list_min([md5('3:' || s) for s in shingles]) AS mh3
-      FROM sh
-    )
-    SELECT a.doc_id AS id_a, b.doc_id AS id_b
-    FROM sig a JOIN sig b
-      ON a.doc_id < b.doc_id
-     AND (a.mh0 = b.mh0 OR a.mh1 = b.mh1 OR a.mh2 = b.mh2 OR a.mh3 = b.mh3)
-    """,
+    None,  # generated below
 )
 def q28(spark, sf):
     """MinHash+LSH candidate pairs, bands of 1 row (bucket-join, no O(n²))."""
     d = _t(spark, sf, "documents")
     return dedup.lsh_candidate_pairs(d, "doc_id", "text", k_shingles=8, n_hashes=4, bands=4)
+
+
+_ORACLES["q28_minhash_lsh_pairs"] = f"""
+    WITH {_minhash_sig_cte(n_hashes=4, k=8)}
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM sig a JOIN sig b
+      ON a.doc_id < b.doc_id
+     AND (a.mh0 = b.mh0 OR a.mh1 = b.mh1 OR a.mh2 = b.mh2 OR a.mh3 = b.mh3)
+    """
 
 
 @query(
@@ -622,9 +718,11 @@ def q28(spark, sf):
     ),
     exploded AS (SELECT doc_id, source, UNNEST(sh) AS s FROM grams),
     sizes AS (SELECT doc_id, len(sh) AS n_sh FROM grams),
+    freq AS (SELECT source, s, COUNT(*) AS df FROM exploded GROUP BY 1, 2),
+    kept AS (SELECT e.doc_id, e.source, e.s FROM exploded e JOIN freq USING (source, s) WHERE df <= 1000),
     inter AS (
       SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
-      FROM exploded a JOIN exploded b ON a.s = b.s AND a.source = b.source AND a.doc_id < b.doc_id
+      FROM kept a JOIN kept b ON a.s = b.s AND a.source = b.source AND a.doc_id < b.doc_id
       GROUP BY 1, 2
     )
     SELECT id_a, id_b,
@@ -634,10 +732,13 @@ def q28(spark, sf):
     """,
 )
 def q29(spark, sf):
-    """Exact word-trigram… (k=3 slices of 3 words? k_words=3 means trigrams;
-    oracle uses w[i:i+2] → 3-element slice) Jaccard ≥ 0.2, blocked by source."""
+    """Word-trigram Jaccard ≥ 0.2, blocked by source, with the default
+    shingle doc-frequency cap (mirrored in the oracle's `freq`/`kept`
+    CTEs; no shingle exceeds it at sf0.01, so the result is still exact)."""
     d = _t(spark, sf, "documents")
-    return dedup.ngram_jaccard_pairs(d, "doc_id", "text", block_col="source", k_words=3, threshold=0.2)
+    return dedup.ngram_jaccard_pairs(
+        d, "doc_id", "text", block_col="source", k_words=3, threshold=0.2, max_doc_freq=1000
+    )
 
 
 @query(
@@ -664,10 +765,26 @@ def q30(spark, sf):
     )
 
 
-@query("q31_embedding_lsh_neardup")  # no SQL oracle: hyperplanes aren't SQL-expressible
+@query("q31_embedding_lsh_neardup", None)  # oracle generated below
 def q31(spark, sf):
+    """LSH-blocked near-dup pairs. The hyperplane literals are embedded in
+    the generated oracle SQL, so this is exact-checked too (cos rounded to
+    4 places on both sides to absorb summation-order ulps)."""
     e = _t(spark, sf, "embeddings")
-    return similarity.embedding_neardup_pairs(e, dim=64, threshold=0.2, n_planes=4)
+    out = similarity.embedding_neardup_pairs(e, dim=64, threshold=0.2, n_planes=4)
+    return out.select("id_a", "id_b", F.round("cos_sim", 4).alias("cos_sim"))
+
+
+_ORACLES["q31_embedding_lsh_neardup"] = f"""
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    s AS (SELECT vec_id, e, {_lsh_sig_sql('e', dim=64, n_planes=4)} AS sig FROM v)
+    SELECT id_a, id_b, ROUND(cs, 4) AS cos_sim FROM (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             list_dot_product(a.e, b.e)
+               / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))) AS cs
+      FROM s a JOIN s b ON a.sig = b.sig AND a.vec_id < b.vec_id
+    ) WHERE cs >= 0.2
+    """
 
 
 @query(
@@ -694,20 +811,46 @@ def q32(spark, sf):
     return out.select("query_id", "match_id", F.round("cos_sim", 4).alias("cos_sim"), "rank")
 
 
-@query("q33_simhash_fingerprints")  # pandas-UDF op: rows-only driver check
+@query("q33_simhash_fingerprints", None)  # oracle generated below
 def q33(spark, sf):
+    """64-bit SimHash fingerprints — pure Column-expression formulation
+    (md5 token hash + bit-vote aggs), exact-checked against the generated
+    bit-math oracle."""
     d = _t(spark, sf, "documents")
-    return d.select("doc_id", dedup.simhash64_udf("text").alias("simhash"))
+    return dedup.simhash_table(d, "doc_id", "text").withColumnRenamed("_id", "doc_id")
 
 
-@query("q34_multimodal_features")  # mapInPandas media stub: rows-only check
+_ORACLES["q33_simhash_fingerprints"] = f"""
+    WITH {_simhash_fp_cte()}
+    SELECT doc_id, simhash FROM fp
+    """
+
+
+@query("q34_multimodal_features", None)  # oracle generated below
 def q34(spark, sf):
+    """Media-stub image features over the mapInPandas plumbing. The
+    payload is sha256-derived so DuckDB can re-derive every byte; feature
+    sums are integer-exact; the array column ships as to_json (the driver's
+    canonicalizer can't sort raw array columns)."""
     d = _t(spark, sf, "documents")
-    media = d.select(
-        F.col("doc_id").alias("media_id"),
-        F.to_binary(F.sha2("text", 512), F.lit("hex")).alias("payload"),
-    )
-    return multimodal.image_features(media)
+    media = d.select(F.col("doc_id").alias("media_id"), _media_payload_col().alias("payload"))
+    out = multimodal.image_features(media)
+    return out.select("media_id", "payload_bytes", F.to_json("feature").alias("feature_json"))
+
+
+def _q34_oracle() -> str:
+    rows = []
+    for r in range(8):
+        rows.append("(" + " + ".join(_sql_hex_byte("hx", 8 * r + c) for c in range(8)) + ")")
+    return f"""
+    WITH {_MEDIA_HX_CTE}
+    SELECT media_id, CAST(64 AS BIGINT) AS payload_bytes,
+           to_json([{", ".join(rows)}]) AS feature_json
+    FROM h
+    """
+
+
+_ORACLES["q34_multimodal_features"] = _q34_oracle()
 
 
 @query(
@@ -800,20 +943,20 @@ def q38(spark, sf):
 
 @query(
     "q39_dup_clusters",
-    """
-    WITH RECURSIVE sh AS (
-      SELECT doc_id,
-             list_distinct([substr(text, i, 8) for i in range(1, GREATEST(LENGTH(text) - 7, 1) + 1)]) AS shingles
-      FROM documents
-    ),
-    sig AS (
-      SELECT doc_id,
-             list_min([md5('0:' || s) for s in shingles]) AS mh0,
-             list_min([md5('1:' || s) for s in shingles]) AS mh1,
-             list_min([md5('2:' || s) for s in shingles]) AS mh2,
-             list_min([md5('3:' || s) for s in shingles]) AS mh3
-      FROM sh
-    ),
+    None,  # generated below
+)
+def q39(spark, sf):
+    """Connected components over MinHash-LSH candidate pairs (duplicate
+    clusters): min-label propagation over edges + pointer jumping; oracle =
+    recursive-CTE reachability."""
+    d = _t(spark, sf, "documents")
+    pairs = dedup.lsh_candidate_pairs(d, "doc_id", "text", k_shingles=8, n_hashes=4, bands=4)
+    labels = dedup.duplicate_clusters(pairs)
+    return labels.select(F.col("id").alias("doc_id"), F.col("label").alias("cluster_id"))
+
+
+_ORACLES["q39_dup_clusters"] = f"""
+    WITH RECURSIVE {_minhash_sig_cte(n_hashes=4, k=8)},
     pairs AS (
       SELECT a.doc_id AS id_a, b.doc_id AS id_b
       FROM sig a JOIN sig b
@@ -830,38 +973,76 @@ def q38(spark, sf):
       SELECT e.dst AS id, cc.label FROM cc JOIN edges e ON cc.id = e.src
     )
     SELECT id AS doc_id, MIN(label) AS cluster_id FROM cc GROUP BY 1
-    """,
-)
-def q39(spark, sf):
-    """Connected components over MinHash-LSH candidate pairs (duplicate
-    clusters): min-label propagation over edges + pointer jumping; oracle =
-    recursive-CTE reachability."""
-    d = _t(spark, sf, "documents")
-    pairs = dedup.lsh_candidate_pairs(d, "doc_id", "text", k_shingles=8, n_hashes=4, bands=4)
-    labels = dedup.duplicate_clusters(pairs)
-    return labels.select(F.col("id").alias("doc_id"), F.col("label").alias("cluster_id"))
+    """
 
 
-@query("q40_simhash_neardup_pairs")  # blake2b token hashing: not SQL-expressible
+@query("q40_simhash_neardup_pairs", None)  # oracle generated below
 def q40(spark, sf):
+    """SimHash near-dup pairs (16-bit chunk blocking + hamming verify),
+    exact-checked against the generated bit-math oracle."""
     d = _t(spark, sf, "documents")
     return dedup.simhash_neardup_pairs(d, "doc_id", "text", max_hamming=8)
 
 
-@query("q41_lsh_topk")  # hyperplane signs: rows-only driver check
+_ORACLES["q40_simhash_neardup_pairs"] = f"""
+    WITH {_simhash_fp_cte()}
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+           bit_count(xor(a.simhash, b.simhash)) AS hamming
+    FROM fp a JOIN fp b
+      ON a.doc_id < b.doc_id
+     AND ( ((a.simhash >> 0) & 65535) = ((b.simhash >> 0) & 65535)
+        OR ((a.simhash >> 16) & 65535) = ((b.simhash >> 16) & 65535)
+        OR ((a.simhash >> 32) & 65535) = ((b.simhash >> 32) & 65535)
+        OR ((a.simhash >> 48) & 65535) = ((b.simhash >> 48) & 65535) )
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 8
+    """
+
+
+@query("q41_lsh_topk", None)  # oracle generated below
 def q41(spark, sf):
+    """Hyperplane-LSH approximate top-k — exact-checked via plane literals
+    embedded in the generated oracle (cos rounded to 4 places)."""
     e = _t(spark, sf, "embeddings")
-    return similarity.hyperplane_lsh_topk(e, e.where(F.col("vec_id") < 3), dim=64, k=5, n_planes=4)
+    out = similarity.hyperplane_lsh_topk(e, e.where(F.col("vec_id") < 3), dim=64, k=5, n_planes=4)
+    return out.select("query_id", "match_id", F.round("cos_sim", 4).alias("cos_sim"), "rank")
 
 
-@query("q42_frame_sample")  # mapInPandas media UDTF stub: rows-only check
-def q42(spark, sf):
-    d = _t(spark, sf, "documents")
-    media = d.select(
-        F.col("doc_id").alias("media_id"),
-        F.to_binary(F.sha2("text", 512), F.lit("hex")).alias("payload"),
+_ORACLES["q41_lsh_topk"] = f"""
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    s AS (SELECT vec_id, e, {_lsh_sig_sql('e', dim=64, n_planes=4)} AS sig FROM v),
+    q AS (SELECT vec_id, e, sig FROM s WHERE vec_id < 3),
+    scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS match_id,
+             list_dot_product(q.e, c.e)
+               / (sqrt(list_dot_product(q.e, q.e)) * sqrt(list_dot_product(c.e, c.e))) AS cs
+      FROM s c JOIN q ON c.sig = q.sig AND c.vec_id <> q.vec_id
     )
+    SELECT query_id, match_id, ROUND(cs, 4) AS cos_sim, rank FROM (
+      SELECT query_id, match_id, cs,
+             ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cs DESC, match_id ASC) AS rank
+      FROM scored
+    ) WHERE rank <= 5
+    """
+
+
+@query("q42_frame_sample", None)  # oracle generated below
+def q42(spark, sf):
+    """Frame sampling over the mapInPandas one-to-many media plumbing.
+    Frames are byte slices of the sha256-derived payload, so the oracle
+    re-derives them with unhex + hex-substring math."""
+    d = _t(spark, sf, "documents")
+    media = d.select(F.col("doc_id").alias("media_id"), _media_payload_col().alias("payload"))
     return multimodal.sample_frames(media, every_n=4, max_frames=3)
+
+
+# 64-byte payload, every_n=4 → step 16 bytes, 3 frames of 16 bytes
+# (32 hex chars) each, starting at hex offsets 0/32/64.
+_ORACLES["q42_frame_sample"] = f"""
+    WITH {_MEDIA_HX_CTE}
+    SELECT media_id, f.frame_idx,
+           unhex(substr(hx, f.frame_idx * 32 + 1, 32)) AS frame_payload
+    FROM h, (SELECT unnest([0, 1, 2]) AS frame_idx) f
+    """
 
 
 @query("q44_ivf_topk")  # k-means centroids: rows-only driver check (see
@@ -875,14 +1056,43 @@ def q44(spark, sf):
     )
 
 
-@query("q45_audio_features")  # mapInPandas media stub: rows-only check
+@query("q45_audio_features", None)  # oracle generated below
 def q45(spark, sf):
+    """Media-stub audio features (int16 PCM stand-in): sample count, exact
+    integer energy, IEEE-exact rms, integer band magnitudes (as to_json).
+    The oracle re-derives the int16 samples from the payload hex."""
     d = _t(spark, sf, "documents")
-    media = d.select(
-        F.col("doc_id").alias("media_id"),
-        F.to_binary(F.sha2("text", 512), F.lit("hex")).alias("payload"),
+    media = d.select(F.col("doc_id").alias("media_id"), _media_payload_col().alias("payload"))
+    out = multimodal.audio_features(media)
+    return out.select(
+        "media_id", "n_samples", "energy", "rms", F.to_json("band_abs").alias("bands_json")
     )
-    return multimodal.audio_features(media)
+
+
+def _q45_oracle() -> str:
+    # int16 LE sample k = b(2k) + 256*b(2k+1) - 65536*(b(2k+1) >= 128)
+    pcm = [
+        f"({_sql_hex_byte('hx', 2 * k)} + 256*{_sql_hex_byte('hx', 2 * k + 1)}"
+        f" - CASE WHEN {_sql_hex_byte('hx', 2 * k + 1)} >= 128 THEN 65536 ELSE 0 END)"
+        for k in range(32)
+    ]
+    bands = [
+        "(" + " + ".join(f"abs(pcm[{4 * m + i + 1}])" for m in range(8)) + ")"
+        for i in range(4)
+    ]
+    return f"""
+    WITH {_MEDIA_HX_CTE},
+    p AS (SELECT media_id, [{", ".join(pcm)}] AS pcm FROM h),
+    e AS (SELECT media_id, pcm, CAST(list_sum([x * x for x in pcm]) AS BIGINT) AS energy FROM p)
+    SELECT media_id, CAST(32 AS BIGINT) AS n_samples, energy,
+           sqrt(CAST(energy AS DOUBLE) / 32) AS rms,
+           to_json([CAST({bands[0]} AS BIGINT), CAST({bands[1]} AS BIGINT),
+                    CAST({bands[2]} AS BIGINT), CAST({bands[3]} AS BIGINT)]) AS bands_json
+    FROM e
+    """
+
+
+_ORACLES["q45_audio_features"] = _q45_oracle()
 
 
 @query(

@@ -291,3 +291,115 @@ def test_concurrent_commit_conflict_detected(spark, tmp_table_dir):
     import os
     assert not [e for e in os.listdir(os.path.join(tmp_table_dir, "manifests"))
                 if e.startswith("attempt-")]
+
+
+def test_key_dtype_drift_does_not_drop_rows(spark, tmp_table_dir):
+    """ADVICE regression: a batch sending a NARROWER key dtype (int where
+    the table stores long) must bucket identically to the stored rows —
+    murmur3 is dtype-sensitive, so affected buckets must be computed on
+    schema-cast keys. Before the fix, the raw-dtype hash selected the wrong
+    bucket set and the manifest update silently dropped other keys."""
+    long_schema = (
+        "repo string, path string, k long, commit_seq long, commit string,"
+        " op string, content string"
+    )
+    int_schema = (
+        "repo string, path string, k int, commit_seq long, commit string,"
+        " op string, content string"
+    )
+    tbl = SnapshotTable(spark, tmp_table_dir, key_cols=["repo", "k"], n_buckets=8)
+    base = [(f"r{i}", f"p{i}", i, 1, "c1", "U", f"v{i}") for i in range(40)]
+    tbl.merge(spark.createDataFrame(base, long_schema), batch_id="b0")
+    assert tbl.read().count() == 40
+    # update 3 keys via a batch whose key column k is INT
+    upd = [(f"r{i}", f"p{i}", i, 2, "c2", "U", f"new{i}") for i in (0, 7, 21)]
+    tbl.merge(spark.createDataFrame(upd, int_schema), batch_id="b1")
+    cur = tbl.read()
+    assert cur.count() == 40  # nothing dropped
+    got = {r["k"]: r["content"] for r in cur.collect()}
+    for i in range(40):
+        assert got[i] == (f"new{i}" if i in (0, 7, 21) else f"v{i}")
+    # stored key dtype is unchanged (no widening happened)
+    assert dict(tbl.read().dtypes)["k"] == "bigint"
+
+
+def test_key_column_widening_rejected(spark, tmp_table_dir):
+    """Widening a KEY column would re-bucket future writes while old
+    buckets keep the old layout — _merge_schemas must refuse."""
+    import pytest
+
+    int_schema = "repo string, k int, commit_seq long, commit string, op string, content string"
+    long_schema = "repo string, k long, commit_seq long, commit string, op string, content string"
+    tbl = SnapshotTable(spark, tmp_table_dir, key_cols=["repo", "k"], n_buckets=8)
+    tbl.merge(spark.createDataFrame([("r", 1, 1, "c", "U", "x")], int_schema), batch_id="b0")
+    with pytest.raises(ValueError, match="key column"):
+        tbl.merge(spark.createDataFrame([("r", 2, 2, "c", "U", "y")], long_schema), batch_id="b1")
+    # non-key widening still allowed: value column int->long in a fresh table
+    from pyspark.sql import types as T
+    old = T.StructType([T.StructField("repo", T.StringType()), T.StructField("n", T.IntegerType())])
+    new = T.StructType([T.StructField("repo", T.StringType()), T.StructField("n", T.LongType())])
+    assert _merge_schemas(old, new, key_cols=["repo"])["n"].dataType.typeName() == "long"
+
+
+def test_manifest_records_bucket_fn_and_refuses_mismatch(spark, tmp_table_dir):
+    """Manifests carry a bucket-function id + format version; a table
+    written under a different bucket function is refused on open paths."""
+    import pytest
+
+    from arches_rascoll_etl_spark.lake.parquet_snapshot import (
+        BUCKET_FN_ID, FORMAT_VERSION, IncompatibleTableError,
+    )
+
+    tbl = _mk(spark, tmp_table_dir)
+    tbl.merge(batch_events(spark, CFG, 0), batch_id="b0")
+    m = tbl._load_manifest(0)
+    assert m["bucket_fn"] == BUCKET_FN_ID
+    assert m["format-version"] == FORMAT_VERSION
+
+    # simulate a table written by a build with a different bucket function
+    m_bad = dict(m, bucket_fn="xxhash64-concat-v0")
+    with open(tbl._manifest_path(0), "w") as f:
+        json.dump(m_bad, f)
+    tbl2 = _mk(spark, tmp_table_dir)
+    with pytest.raises(IncompatibleTableError, match="bucket function"):
+        tbl2.read()
+    with pytest.raises(IncompatibleTableError):
+        tbl2.merge(batch_events(spark, CFG, 1), batch_id="b1")
+
+
+def test_reopen_adopts_manifest_bucket_count(spark, tmp_table_dir):
+    """n_buckets is a table property: reopening with a different
+    constructor default must adopt the manifest's value, not split the
+    table across two layouts."""
+    tbl = SnapshotTable(spark, tmp_table_dir, n_buckets=8)
+    tbl.merge(batch_events(spark, CFG, 0), batch_id="b0")
+    before = _state_set(tbl.read())
+    tbl2 = SnapshotTable(spark, tmp_table_dir, n_buckets=64)  # wrong default
+    assert _state_set(tbl2.read()) == before
+    assert tbl2.n_buckets == 8  # adopted
+    tbl2.merge(batch_events(spark, CFG, 1), batch_id="b1")
+    assert tbl2._load_manifest(1)["n_buckets"] == 8
+
+
+def test_expire_snapshots_guards(spark, tmp_table_dir):
+    """keep_last=0 must raise (it would delete the whole table), and a
+    table whose only commits were empty batches must expire cleanly."""
+    import pytest
+
+    tbl = _mk(spark, tmp_table_dir)
+    tbl.merge(batch_events(spark, CFG, 0), batch_id="b0")
+    with pytest.raises(ValueError, match="keep_last"):
+        tbl.expire_snapshots(keep_last=0)
+    assert tbl.read().count() > 0
+
+    # empty-batches-only table: no data dir; expire must not crash
+    import shutil
+    empty_dir = tmp_table_dir + "_empty"
+    tbl2 = _mk(spark, empty_dir)
+    e = batch_events(spark, CFG, 0).where(F.lit(False))
+    tbl2.merge(e, batch_id="e0")
+    tbl2.merge(e, batch_id="e1")
+    tbl2.merge(e, batch_id="e2")
+    shutil.rmtree(os.path.join(empty_dir, "data"))  # as if never created
+    res = tbl2.expire_snapshots(keep_last=2)
+    assert res["removed_snapshots"] == 1

@@ -43,7 +43,11 @@ def test_audio_features_stub_shapes(spark):
     media = multimodal.synth_media(spark, n=16).where(F.col("kind") == "audio")
     out = multimodal.audio_features(media).collect()
     assert len(out) == media.count()
+    import math
+
     for r in out:
         assert r["n_samples"] > 0
         assert r["rms"] >= 0.0
-        assert len(r["spectral_bands"]) == 4
+        assert len(r["band_abs"]) == 4
+        # rms is derived from the exact integer energy
+        assert r["rms"] == math.sqrt(r["energy"] / r["n_samples"])

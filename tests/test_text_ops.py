@@ -91,13 +91,14 @@ def test_ngram_jaccard_pairs(spark):
 
 
 def _simhash_ref(text: str) -> int:
-    """Independent reference implementation (plain Python loops)."""
+    """Independent reference implementation (plain Python loops): token
+    hash = top 64 bits of md5, ±1 bit votes, two's-complement packing."""
     import hashlib
 
-    toks = text.split()
+    toks = [t for t in text.split() if t]
     votes = [0] * 64
     for t in toks:
-        h = int.from_bytes(hashlib.blake2b(t.encode(), digest_size=8).digest(), "big")
+        h = int(hashlib.md5(t.encode()).hexdigest()[:16], 16)
         for b in range(64):
             votes[63 - b] += 1 if (h >> b) & 1 else -1
     fp = 0
@@ -108,13 +109,48 @@ def _simhash_ref(text: str) -> int:
 
 def test_simhash_matches_reference_and_finds_exact_dups(spark):
     base = " ".join(f"tok{i}" for i in range(40))
-    rows = [(1, base), (2, base), (3, " ".join(f"other{i}" for i in range(40)))]
+    rows = [(1, base), (2, base), (3, " ".join(f"other{i}" for i in range(40))), (4, "   ")]
     df = spark.createDataFrame(rows, "id long, text string")
-    got = {r.id: r.sim for r in df.select("id", dedup.simhash64_udf("text").alias("sim")).collect()}
+    got = {r._id: r.simhash for r in dedup.simhash_table(df, "id", "text").collect()}
     assert got[1] == _simhash_ref(base)
     assert got[3] == _simhash_ref(" ".join(f"other{i}" for i in range(40)))
+    assert got[4] == 0  # tokenless doc still present, fingerprint 0
     pairs = {(r.id_a, r.id_b): r.hamming for r in dedup.simhash_neardup_pairs(df, "id", "text", max_hamming=3).collect()}
-    assert pairs == {(1, 2): 0}
+    assert (1, 2) in pairs and pairs[(1, 2)] == 0
+
+
+def test_rolling_hash_vectorized_matches_naive_and_is_faster():
+    import time
+
+    from arches_rascoll_etl_spark.functions.textstats import _rolling_hash_batch
+
+    MOD, BASE = (1 << 61) - 1, 257
+
+    def naive(v):
+        if v is None:
+            return None
+        h = 0
+        for b in v.encode("utf-8"):
+            h = (h * BASE + b) % MOD
+        return h
+
+    texts = [None, "", "a", "hello world"] + [
+        ("text %d " % i) * 200 for i in range(200)
+    ]
+    assert _rolling_hash_batch(texts) == [naive(v) for v in texts]
+
+    # microbench: position-vectorized batch vs per-byte Python, best of 3
+    big = [("lorem ipsum %d dolor sit amet " % i) * 70 for i in range(200)]
+    tv = min(
+        (lambda t0: (_rolling_hash_batch(big), time.perf_counter() - t0))(time.perf_counter())[1]
+        for _ in range(3)
+    )
+    tn = min(
+        (lambda t0: ([naive(v) for v in big], time.perf_counter() - t0))(time.perf_counter())[1]
+        for _ in range(3)
+    )
+    # typically 30-100x; generous bar for the shared noisy host
+    assert tv < tn / 1.5, f"vectorized {tv:.4f}s not faster than naive {tn:.4f}s"
 
 
 def test_cosine_topk_exact_vs_numpy(spark):
