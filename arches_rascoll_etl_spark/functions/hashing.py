@@ -64,3 +64,21 @@ def deterministic_uuid(*cols: Column | str, sep: str = "|") -> Column:
     """Mint a v5 UUID from the concatenation of key columns (vectorized)."""
     cs = [F.col(c) if isinstance(c, str) else c for c in cols]
     return uuid5_udf(F.concat_ws(sep, *[c.cast("string") for c in cs]))
+
+
+def sha_uuid(*cols: Column | str, sep: str = "|") -> Column:
+    """Deterministic uuid-SHAPED id from key parts: sha256 hex grouped
+    8-4-4-4-12. Unlike ``uuid5_udf`` this is a pure JVM expression
+    (whole-stage codegen, no Python) and reproducible in ANSI SQL
+    (sha256 + substr), so driver oracles can mint the identical ids.
+    Not RFC-4122 (no version/variant bits) — use ``uuid5_udf`` where
+    canonical v5 semantics matter."""
+    h = content_key(*cols, sep=sep)
+    return F.concat_ws(
+        "-",
+        F.substring(h, 1, 8),
+        F.substring(h, 9, 4),
+        F.substring(h, 13, 4),
+        F.substring(h, 17, 4),
+        F.substring(h, 21, 12),
+    )

@@ -93,3 +93,15 @@ def const_col(value, data_type: str = "string") -> Column:
 def any_present(*cols: Column | str) -> Column:
     """'Keep rows with ≥1 non-null value across a column set' (P4)."""
     return F.coalesce(*[_c(c) for c in cols]).isNotNull()
+
+
+def ensure_json_array(col: Column | str) -> Column:
+    """F13: wrap a JSON value in a one-element array unless it already IS
+    an array (the reference's ``CASE jsonb_typeof(...) WHEN 'array'`` guard
+    used when loading related-resource values,
+    arches_rascoll/ref_collection.py:367-377 / data/etl_sql.txt:677-695).
+    Null stays null — absent related resources load as absent."""
+    c = _c(col)
+    return F.when(c.isNull(), F.lit(None).cast("string")).when(
+        F.trim(c).startswith("["), c
+    ).otherwise(F.concat(F.lit("["), c, F.lit("]")))

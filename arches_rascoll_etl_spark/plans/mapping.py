@@ -18,10 +18,36 @@ A ``MappingSpec`` describes one target table:
                    (reference: the OR-accumulated any-value check)
   * lww_order    — optional (order_cols): collapse duplicate keys LWW
                    (reference: dict_rows overwrite, ref_collection.py:95-97)
+
+A ``FieldMapping`` additionally carries the reference's per-mapping tile
+constructs, all compiled to byte-stable JSON-text Column expressions
+(plain concat — an ANSI-SQL oracle reproduces every byte):
+
+  * related      — RelatedResource entries building the
+                   ``{resourceId, ontologyProperty, resourceXresourceId,
+                   inverseOntologyProperty}`` JSON objects
+                   (ref_collection.py:148-184): single-value entries
+                   produce a dict keyed by the minted resourceXresourceId,
+                   ``multi_value`` entries sharing a target accumulate into
+                   a JSON array; the minted id is DETERMINISTIC
+                   (sha_uuid over row key + target uuid + rel type) where
+                   the reference used uuid4 — replay/retry idempotent.
+  * tile_data    — (node_uuid, value) pairs expanded to a JSON document
+                   (ref_collection.py:185-195); value is None, a list of
+                   uuid strings, or ``TILE_DATA_COPY`` which embeds the
+                   mapping's own transformed value
+                   (general_configs.py:46,72-93 sentinel).
+  * tile_other   — TileOtherField extra columns with their own transforms,
+                   written only when BOTH the mapping source and their own
+                   source are present (ref_collection.py:114-129).
+
+All three are gated on the mapping source being non-null, mirroring the
+reference's per-mapping null skip (ref_collection.py:106).
 """
 
 from __future__ import annotations
 
+import json
 from dataclasses import dataclass, field as dc_field
 from typing import Any, Callable
 
@@ -29,8 +55,17 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..functions import text as TX
-from ..functions.hashing import deterministic_uuid
+from ..functions.hashing import deterministic_uuid, sha_uuid
 from ..operators.lww import lww_latest
+
+# Sentinel: a tile_data value that copies the mapping's transformed field
+# value into the tile document (the reference's TILE_DATA_COPY_FLAG,
+# general_configs.py:46).
+TILE_DATA_COPY = "----COPY:stage_targ_field----"
+
+# transforms whose output is already JSON text: embedded raw into composed
+# JSON documents; everything else is embedded as a quoted JSON string
+_JSON_TRANSFORMS = {"lang_dict_json", "to_json"}
 
 # named transforms: string -> Column -> Column (extensible registry)
 TRANSFORMS: dict[str, Callable[[Column], Column]] = {
@@ -46,17 +81,129 @@ TRANSFORMS: dict[str, Callable[[Column], Column]] = {
 
 
 @dataclass(frozen=True)
-class FieldMapping:
+class TileOtherField:
+    """Extra tile column attached to a mapping (reference
+    tile_other_fields, ref_collection.py:114-129)."""
+
     source: str
     target: str
     transform: str = "copy"
     cast: str | None = None
 
+
+@dataclass(frozen=True)
+class RelatedResource:
+    """One related-resources entry (reference related_resources configs,
+    general_configs.py:322-331 and ref_collection.py:148-184).
+
+    ``source_uuid`` is the column holding the UUID of the resource being
+    linked TO; entries with the same ``target`` compose into one output
+    column (dict for single-value, array for multi_value — the reference's
+    two shapes)."""
+
+    source_uuid: str
+    rel_type_id: str
+    inverse_rel_type_id: str
+    target: str = "related_objs"
+    multi_value: bool = False
+
+
+@dataclass(frozen=True)
+class FieldMapping:
+    source: str
+    target: str
+    transform: str = "copy"
+    cast: str | None = None
+    tile_other: tuple[TileOtherField, ...] = ()
+    related: tuple[RelatedResource, ...] = ()
+    tile_data: tuple[tuple[str, Any], ...] = ()
+    tile_data_target: str = ""  # default: f"{target}_tile_data"
+
     def compile(self) -> Column:
+        col = self._value()
+        return col.alias(self.target)
+
+    def _value(self) -> Column:
         col = TRANSFORMS[self.transform](F.col(self.source))
         if self.cast:
             col = col.cast(self.cast)
-        return col.alias(self.target)
+        return col
+
+    def _value_json(self) -> Column:
+        """The transformed value embedded into a JSON document: raw when
+        the transform already yields JSON text, quoted otherwise. (Plain
+        quote-wrap assumes values without embedded quotes — same contract
+        as the byte-stable oracle JSON throughout queries.py.)"""
+        v = self._value()
+        if self.transform in _JSON_TRANSFORMS:
+            return v
+        return F.concat(F.lit('"'), v.cast("string"), F.lit('"'))
+
+    def compile_extras(self, key_cols: tuple[str, ...]) -> list[Column]:
+        """Tile-other columns, related-resources JSON columns, and the
+        tile_data JSON column — all gated on the mapping source."""
+        out: list[Column] = []
+        ok = F.col(self.source).isNotNull()
+
+        for of in self.tile_other:
+            c = TRANSFORMS[of.transform](F.col(of.source))
+            if of.cast:
+                c = c.cast(of.cast)
+            out.append(F.when(ok & F.col(of.source).isNotNull(), c).alias(of.target))
+
+        groups: dict[str, list[RelatedResource]] = {}
+        for r in self.related:
+            groups.setdefault(r.target, []).append(r)
+        for target, rels in groups.items():
+            multi = rels[0].multi_value
+            entries: list[Column] = []
+            for r in rels:
+                rid = F.col(r.source_uuid).cast("string")
+                present = (
+                    ok & rid.isNotNull() & (rid != "") & (rid != "NaN")
+                )
+                # deterministic resourceXresourceId (reference minted
+                # uuid4 here, ref_collection.py:167 — nondeterministic;
+                # sha_uuid makes replay/retry idempotent AND lets the
+                # DuckDB oracle mint the identical id). The target field
+                # name participates so two fields linking the same
+                # resource mint distinct relationship ids.
+                rx = sha_uuid(
+                    *key_cols, F.lit(target), F.col(r.source_uuid), F.lit(r.rel_type_id)
+                )
+                obj = F.concat(
+                    F.lit('{"resourceId": "'),
+                    rid,
+                    F.lit('", "ontologyProperty": "' + r.rel_type_id + '", "resourceXresourceId": "'),
+                    rx,
+                    F.lit('", "inverseOntologyProperty": "' + r.inverse_rel_type_id + '"}'),
+                )
+                if not multi:
+                    obj = F.concat(F.lit('"'), rx, F.lit('": '), obj)
+                entries.append(F.when(present, obj))
+            wrapped = F.concat(
+                F.lit("[" if multi else "{"),
+                F.concat_ws(", ", *entries),  # concat_ws skips absent entries
+                F.lit("]" if multi else "}"),
+            )
+            any_present = F.coalesce(*entries).isNotNull() if len(entries) > 1 else entries[0].isNotNull()
+            out.append(F.when(any_present, wrapped).alias(target))
+
+        if self.tile_data:
+            parts: list[Column] = []
+            for node, val in self.tile_data:
+                if val == TILE_DATA_COPY:
+                    body = self._value_json()
+                elif val is None:
+                    body = F.lit("null")
+                elif isinstance(val, (list, tuple)):
+                    body = F.lit(json.dumps(list(val)))
+                else:
+                    body = F.lit(json.dumps(val))
+                parts.append(F.concat(F.lit(f'"{node}": '), body))
+            doc = F.concat(F.lit("{"), F.concat_ws(", ", *parts), F.lit("}"))
+            out.append(F.when(ok, doc).alias(self.tile_data_target or f"{self.target}_tile_data"))
+        return out
 
 
 @dataclass(frozen=True)
@@ -77,6 +224,7 @@ class MappingSpec:
         if self.lww_order:
             cols += [F.col(c) for c in self.lww_order if c not in self.key]
         cols += [m.compile() for m in self.fields]
+        cols += [c for m in self.fields for c in m.compile_extras(self.key)]
         cols += [F.lit(v).alias(k) for k, v in self.constants.items()]
         cols += [
             deterministic_uuid(*parts).alias(target)

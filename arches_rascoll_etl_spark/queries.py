@@ -1095,6 +1095,179 @@ def _q45_oracle() -> str:
 _ORACLES["q45_audio_features"] = _q45_oracle()
 
 
+# ------------------------------------------- mapping-DSL tile constructs
+
+# arbitrary (made-up) ontology-property constants for the driver queries —
+# stand-ins for the reference's REL_*_TYPE_ID config values
+_REL_T1 = "aaaa1111-0000-4000-8000-000000000001"
+_REL_I1 = "aaaa1111-0000-4000-8000-000000000002"
+_REL_T2 = "bbbb2222-0000-4000-8000-000000000003"
+_REL_I2 = "bbbb2222-0000-4000-8000-000000000004"
+
+
+def _sql_sha_uuid(expr: str) -> str:
+    """SQL twin of functions.hashing.sha_uuid: sha256 hex grouped
+    8-4-4-4-12."""
+    h = f"sha256({expr})"
+    return (
+        "("
+        + " || '-' || ".join(
+            f"substr({h}, {start}, {ln})"
+            for start, ln in ((1, 8), (9, 4), (13, 4), (17, 4), (21, 12))
+        )
+        + ")"
+    )
+
+
+@query("q46_related_resources", None)  # oracle generated below
+def q46(spark, sf):
+    """Related-resources JSON construction via the mapping DSL
+    (reference ref_collection.py:148-184): single-value dict keyed by the
+    minted resourceXresourceId, multi-value array accumulating two
+    entries (the second present only for high-value orders), plus the F13
+    array-guard wrap. All ids deterministic (sha_uuid), so the generated
+    oracle mints the identical JSON."""
+    from .functions.hashing import sha_uuid
+    from .plans.mapping import FieldMapping, MappingSpec, RelatedResource
+
+    o = _t(spark, sf, "orders")
+    src = o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        sha_uuid(F.lit("cust"), F.col("o_custkey")).alias("cust_uuid"),
+        F.when(
+            F.col("o_totalprice") >= 150000, sha_uuid(F.lit("prio"), F.col("o_orderpriority"))
+        ).alias("prio_uuid"),
+    )
+    spec = MappingSpec(
+        name="order_rel",
+        key=("o_orderkey",),
+        fields=(
+            FieldMapping(
+                "o_orderpriority",
+                "clerk_name",
+                "copy",
+                related=(
+                    RelatedResource("cust_uuid", _REL_T1, _REL_I1, target="related_objs"),
+                    RelatedResource("cust_uuid", _REL_T2, _REL_I2, target="multi_objs", multi_value=True),
+                    RelatedResource("prio_uuid", _REL_T2, _REL_I2, target="multi_objs", multi_value=True),
+                ),
+            ),
+        ),
+    )
+    return spec.compile(src).select(
+        "o_orderkey",
+        "clerk_name",
+        "related_objs",
+        "multi_objs",
+        TX.ensure_json_array("related_objs").alias("related_objs_arr"),
+    )
+
+
+def _q46_oracle() -> str:
+    cust = _sql_sha_uuid("'cust|' || CAST(o_custkey AS VARCHAR)")
+    prio = _sql_sha_uuid("'prio|' || o_orderpriority")
+    def rx(target: str, uuid_col: str, rel: str) -> str:
+        return _sql_sha_uuid(
+            f"CAST(o_orderkey AS VARCHAR) || '|{target}|' || {uuid_col} || '|' || '{rel}'"
+        )
+    def obj(uuid_col: str, rx_col: str, rel: str, inv: str) -> str:
+        return (
+            f"""'{{"resourceId": "' || {uuid_col} || '", "ontologyProperty": "{rel}", """
+            f""""resourceXresourceId": "' || {rx_col} || '", "inverseOntologyProperty": "{inv}"}}'"""
+        )
+    return f"""
+    WITH src AS (
+      SELECT o_orderkey, o_orderpriority, {cust} AS cust_uuid,
+             CASE WHEN o_totalprice >= 150000 THEN {prio} END AS prio_uuid
+      FROM orders
+    ),
+    rxs AS (
+      SELECT *, {rx('related_objs', 'cust_uuid', _REL_T1)} AS rx1,
+                {rx('multi_objs', 'cust_uuid', _REL_T2)} AS rx2,
+                CASE WHEN prio_uuid IS NOT NULL THEN {rx('multi_objs', 'prio_uuid', _REL_T2)} END AS rx3
+      FROM src
+    ),
+    built AS (
+      SELECT o_orderkey, o_orderpriority AS clerk_name,
+             '{{"' || rx1 || '": ' || {obj('cust_uuid', 'rx1', _REL_T1, _REL_I1)} || '}}' AS related_objs,
+             '[' || concat_ws(', ',
+                 {obj('cust_uuid', 'rx2', _REL_T2, _REL_I2)},
+                 CASE WHEN prio_uuid IS NOT NULL THEN {obj('prio_uuid', 'rx3', _REL_T2, _REL_I2)} END
+             ) || ']' AS multi_objs
+      FROM rxs
+    )
+    SELECT o_orderkey, clerk_name, related_objs, multi_objs,
+           CASE WHEN related_objs IS NULL THEN NULL
+                WHEN TRIM(related_objs) LIKE '[%' THEN related_objs
+                ELSE '[' || related_objs || ']' END AS related_objs_arr
+    FROM built
+    """
+
+
+_ORACLES["q46_related_resources"] = _q46_oracle()
+
+
+@query("q47_tile_data_expansion", None)  # oracle generated below
+def q47(spark, sf):
+    """tile_data COPY-sentinel expansion + tile_other_fields via the
+    mapping DSL (reference ref_collection.py:114-129,185-195): the tile
+    document embeds a constant uuid list, a null, and a COPY of the
+    mapping's own lang-dict value; the extra tile column has its own
+    transform and double null gate. Sources are made conditionally null to
+    exercise the gates."""
+    from .plans.mapping import TILE_DATA_COPY, FieldMapping, MappingSpec, TileOtherField
+
+    p = _t(spark, sf, "part")
+    src = p.select(
+        "p_partkey",
+        F.when(F.col("p_size") > 25, F.col("p_name")).alias("name_src"),
+        F.when(F.col("p_retailprice") > 1500, F.col("p_brand")).alias("container_src"),
+    )
+    spec = MappingSpec(
+        name="part_tiles",
+        key=("p_partkey",),
+        fields=(
+            FieldMapping(
+                "name_src",
+                "name_lang",
+                "lang_dict_json",
+                tile_other=(TileOtherField("container_src", "container_norm", "normalize_label"),),
+                tile_data=(
+                    ("node-type", ["11111111-aaaa-4bbb-8ccc-000000000001"]),
+                    ("node-source", None),
+                    ("node-content", TILE_DATA_COPY),
+                ),
+            ),
+        ),
+    )
+    return spec.compile(src).select(
+        "p_partkey", "name_lang", "container_norm", "name_lang_tile_data"
+    )
+
+
+_ORACLES["q47_tile_data_expansion"] = """
+    WITH src AS (
+      SELECT p_partkey,
+             CASE WHEN p_size > 25 THEN p_name END AS name_src,
+             CASE WHEN p_retailprice > 1500 THEN p_brand END AS container_src
+      FROM part
+    ),
+    v AS (
+      SELECT p_partkey, name_src, container_src,
+             '{"en": {"value": "' || name_src || '", "direction": "ltr"}}' AS name_lang
+      FROM src
+    )
+    SELECT p_partkey, name_lang,
+           CASE WHEN name_src IS NOT NULL AND container_src IS NOT NULL
+                THEN REGEXP_REPLACE(UPPER(TRIM(container_src)), '\\.0$', '') END AS container_norm,
+           CASE WHEN name_src IS NOT NULL
+                THEN '{"node-type": ["11111111-aaaa-4bbb-8ccc-000000000001"], "node-source": null, "node-content": '
+                     || name_lang || '}' END AS name_lang_tile_data
+    FROM v
+    """
+
+
 @query(
     "q43_nations_with_both",
     """
