@@ -2,10 +2,13 @@
 
 ``entry`` runs the flagship CDC LWW replay on sf0.001; ``queries`` /
 ``oracle_sql`` expose every implemented operator from SURVEY.md §2 (see the
-§8 coverage map) plus the training-data-pipeline operators: 45 queries, 36
-with DuckDB-exact oracles; the rest (pandas-UDF media/fingerprint ops,
-LSH planes, k-means centroids) are rows-only by design and carry their own
-exact tests in tests/ instead.
+§8 coverage map) plus the training-data-pipeline operators: 47 queries, 45
+with DuckDB-exact oracles (several generated programmatically from the same
+constants the operators use — minhash affine permutations, simhash bit
+votes, LSH plane literals, media byte math). The two rows-only queries are
+q35 (per-character rolling-hash recurrence — not ANSI-SQL-expressible) and
+q44 (driver-side k-means centroids); both carry exact tests in tests/
+instead.
 """
 
 from __future__ import annotations

@@ -36,6 +36,9 @@ class MergeStats:
     snapshot_version: int | None = None
     wall_ms: float = 0.0
     skipped_reason: str | None = None
+    # per-phase wall times (profiling the scaling bottleneck): the key-only
+    # stats job, the fused apply job (scan+LWW+write), and manifest commit
+    phase_ms: dict[str, float] = field(default_factory=dict)
 
     def as_dict(self) -> dict[str, Any]:
         return dict(self.__dict__)
@@ -58,6 +61,35 @@ class LakeTable(ABC):
 
     @abstractmethod
     def committed_batch_ids(self) -> set[str]: ...
+
+
+def merge_sql(
+    identifier: str,
+    key_cols: list[str],
+    order_cols: list[str],
+    source_view: str = "_merge_src",
+    op_col: str = "op",
+) -> str:
+    """The Iceberg ``MERGE INTO`` statement implementing the engine's LWW
+    semantics: a matched row is updated/deleted only if the source event is
+    strictly newer on the ordering columns (lexicographic tiebreak chain),
+    deletes win ties never (same rule as SnapshotTable's max-struct LWW),
+    unmatched non-delete rows insert. Pure string builder so it is testable
+    without an Iceberg jar on the classpath."""
+    on = " AND ".join(f"t.{k} = s.{k}" for k in key_cols)
+    # strictly-newer under lexicographic (c1, c2, ...) ordering:
+    # c1 > t.c1 OR (c1 = t.c1 AND c2 > t.c2) OR ...
+    clauses = []
+    for i, c in enumerate(order_cols):
+        eqs = [f"s.{p} = t.{p}" for p in order_cols[:i]]
+        clauses.append(" AND ".join(eqs + [f"s.{c} > t.{c}"]))
+    newer = " OR ".join(f"({c})" if " AND " in c else c for c in clauses)
+    return (
+        f"MERGE INTO {identifier} t USING {source_view} s ON {on}\n"
+        f"WHEN MATCHED AND s.{op_col} = 'D' AND ({newer}) THEN DELETE\n"
+        f"WHEN MATCHED AND ({newer}) THEN UPDATE SET *\n"
+        f"WHEN NOT MATCHED AND s.{op_col} != 'D' THEN INSERT *"
+    )
 
 
 class IcebergTable(LakeTable):
@@ -95,19 +127,8 @@ class IcebergTable(LakeTable):
         return self.spark.read.option("snapshot-id", version).table(self.identifier)
 
     def merge(self, batch: DataFrame, batch_id: str, summary=None) -> MergeStats:  # pragma: no cover
-        on = " AND ".join(f"t.{k} = s.{k}" for k in self.key_cols)
-        newer = " OR ".join(
-            f"s.{c} > t.{c}" for c in self.order_cols
-        )
         batch.createOrReplaceTempView("_merge_src")
-        self.spark.sql(
-            f"""
-            MERGE INTO {self.identifier} t USING _merge_src s ON {on}
-            WHEN MATCHED AND s.op = 'D' AND ({newer}) THEN DELETE
-            WHEN MATCHED AND ({newer}) THEN UPDATE SET *
-            WHEN NOT MATCHED AND s.op != 'D' THEN INSERT *
-            """
-        )
+        self.spark.sql(merge_sql(self.identifier, self.key_cols, self.order_cols))
         return MergeStats(batch_id=batch_id, applied=True)
 
     def committed_batch_ids(self) -> set[str]:  # pragma: no cover

@@ -72,6 +72,9 @@ def main() -> None:
         "events_per_sec": round(n_events / wall, 1),
         "final_rows": tbl.read().count(),
         "snapshots": len(tbl.snapshots()),
+        # per-batch phase profile (stats job / fused apply / manifest
+        # commit) — pins which phase stops scaling with cores
+        "batch_phase_ms": [s.phase_ms for s in res.stats],
     }
     with open(args.out, "w") as f:
         json.dump(out, f)

