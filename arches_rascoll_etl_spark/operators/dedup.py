@@ -41,6 +41,19 @@ def _c(col: Column | str) -> Column:
     return F.col(col) if isinstance(col, str) else col
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Rebalance a narrow input across the session's default parallelism
+    BEFORE compute-dense per-row work (shingle/token explode + hashing).
+
+    A small parquet file is one scan partition, which would serialize the
+    heavy exploded stage onto one core (observed: 32-core session, 1 task).
+    Only repartitions when the input has fewer partitions than cores — at
+    100 TB the scan already has thousands of partitions and this is a
+    no-op, so no shuffle is added at scale."""
+    n = df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(n) if df.rdd.getNumPartitions() < n else df
+
+
 def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """Keep one representative row id per distinct content digest (min id —
     deterministic). Returns (digest, keep_id, n_dups)."""
@@ -119,11 +132,12 @@ def minhash_table(
     Duplicate shingles need no dedup — min() is multiset-invariant — so no
     array_distinct, no per-doc array materialization: explode an index
     sequence and substring per row."""
-    n = F.greatest(F.length(_c(text_col)) - (k_shingles - 1), F.lit(1))
-    base = df.select(
-        F.col(id_col).alias("_id"),
+    narrow = _spread(df.select(F.col(id_col).alias("_id"), _c(text_col).alias("_t")))
+    n = F.greatest(F.length("_t") - (k_shingles - 1), F.lit(1))
+    base = narrow.select(
+        "_id",
         F.explode(F.sequence(F.lit(1), n)).alias("_i"),
-        _c(text_col).alias("_t"),
+        "_t",
     ).select("_id", F.col("_t").substr(F.col("_i"), F.lit(k_shingles)).alias("_sh"))
     h = base.select("_id", _md5_h32(F.col("_sh")).alias("_h"))
     aggs = [F.min(_affine(F.col("_h"), i)).alias(f"mh{i}") for i in range(n_hashes)]
@@ -190,10 +204,16 @@ def ngram_jaccard_pairs(
     include capped shingles, so reported similarity is a lower bound);
     genuinely near-duplicate pairs share plenty of rare shingles and are
     unaffected. Pass ``None`` to disable (exact, unsafe at scale)."""
-    base = df.select(
-        _c(id_col).alias("_id"),
-        *( [_c(block_col).alias("_blk")] if block_col else [] ),
-        F.explode(word_shingles(text_col, k_words)).alias("sh"),
+    base = _spread(
+        df.select(
+            _c(id_col).alias("_id"),
+            *([_c(block_col).alias("_blk")] if block_col else []),
+            _c(text_col).alias("_t"),
+        )
+    ).select(
+        "_id",
+        *(["_blk"] if block_col else []),
+        F.explode(word_shingles("_t", k_words)).alias("sh"),
     )
     sizes = base.groupBy("_id").agg(F.count("*").alias("n_sh"))
     join_keys = ["sh"] + (["_blk"] if block_col else [])
@@ -238,11 +258,10 @@ def simhash_table(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     bit math keep the DuckDB oracle byte-exact (the previous pandas-UDF
     used blake2b, which no SQL engine exposes, and hashed tokens in an
     interpreted per-token loop)."""
-    tok_arr = F.filter(
-        F.split(F.trim(_c(text_col)), r"\s+"), lambda t: F.length(t) > 0
-    )
-    toks = df.select(
-        _c(id_col).alias("_id"),
+    narrow = _spread(df.select(_c(id_col).alias("_id"), _c(text_col).alias("_t")))
+    tok_arr = F.filter(F.split(F.trim(F.col("_t")), r"\s+"), lambda t: F.length(t) > 0)
+    toks = narrow.select(
+        "_id",
         # zero-weight sentinel: keeps empty docs in the aggregation
         F.explode(F.concat(F.array(F.lit("")), tok_arr)).alias("_tok"),
     )
@@ -251,16 +270,19 @@ def simhash_table(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         (F.length("_tok") > 0).cast("int").alias("_w"),
         F.md5("_tok").alias("_m"),
     )
-    nibs = weighted.select(
+    # top 64 md5 bits as two 32-bit halves (2 conv calls per token, not 16)
+    halves = weighted.select(
         "_id",
         "_w",
-        *[F.conv(F.substring("_m", i + 1, 1), 16, 10).cast("int").alias(f"_n{i}") for i in range(16)],
+        F.conv(F.substring("_m", 1, 8), 16, 10).cast("long").alias("_h1"),
+        F.conv(F.substring("_m", 9, 8), 16, 10).cast("long").alias("_h2"),
     )
     vote_aggs = []
     for j in range(64):
-        bit = F.shiftright(F.col(f"_n{j // 4}"), 3 - (j % 4)).bitwiseAND(F.lit(1))
+        src, shift = ("_h1", 31 - j) if j < 32 else ("_h2", 63 - j)
+        bit = F.shiftright(F.col(src), shift).bitwiseAND(F.lit(1))
         vote_aggs.append(F.sum((bit * 2 - 1) * F.col("_w")).alias(f"_v{j}"))
-    votes = nibs.groupBy("_id").agg(*vote_aggs)
+    votes = halves.groupBy("_id").agg(*vote_aggs)
     fp = None
     for j in range(64):
         w = -(1 << 63) if j == 0 else (1 << (63 - j))

@@ -31,6 +31,15 @@ def _c(col: Column | str) -> Column:
     return F.col(col) if isinstance(col, str) else col
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Rebalance a narrow corpus across the session's default parallelism
+    before compute-dense per-row work (O(dim) dot products per row pair).
+    Only repartitions when the scan produced fewer partitions than cores —
+    a no-op at scale (see operators.dedup._spread)."""
+    n = df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(n) if df.rdd.getNumPartitions() < n else df
+
+
 def dot(a: Column, b: Column) -> Column:
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: (x * y).cast("double")),
@@ -59,7 +68,7 @@ def cosine_topk_bruteforce(
     queries must be broadcast-small (the typical ANN-batch shape); the
     corpus is scanned once, no corpus shuffle before the per-query top-k."""
     q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv"))
-    c = corpus.select(F.col(id_col).alias("match_id"), F.col(vec_col).alias("_cv"))
+    c = _spread(corpus.select(F.col(id_col).alias("match_id"), F.col(vec_col).alias("_cv")))
     scored = c.join(F.broadcast(q), F.col("match_id") != F.col("query_id")).select(
         "query_id",
         "match_id",
@@ -105,7 +114,7 @@ def hyperplane_lsh_topk(
     re-rank within. One shuffle (join on signature)."""
     sig = lambda df: df.withColumn("_sig", lsh_signature(vec_col, dim, n_planes, seed))  # noqa: E731
     q = sig(queries).select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv"), "_sig")
-    c = sig(corpus).select(F.col(id_col).alias("match_id"), F.col(vec_col).alias("_cv"), "_sig")
+    c = sig(_spread(corpus)).select(F.col(id_col).alias("match_id"), F.col(vec_col).alias("_cv"), "_sig")
     scored = c.join(F.broadcast(q), on="_sig").where(F.col("match_id") != F.col("query_id")).select(
         "query_id", "match_id", cosine(F.col("_qv"), F.col("_cv")).alias("cos_sim")
     )
@@ -187,7 +196,7 @@ def ivf_topk(
     cents = _kmeans_centroids(sample, n_centroids, n_iter, seed)
     assign = ivf_assign_udf(cents)
 
-    c = corpus.select(
+    c = _spread(corpus).select(
         F.col(id_col).alias("match_id"),
         F.col(vec_col).alias("_cv"),
         assign(F.col(vec_col)).alias("_cell"),
@@ -231,20 +240,60 @@ def embedding_neardup_pairs(
     threshold: float = 0.9,
     n_planes: int = 4,
     seed: int = 42,
+    n_tables: int = 1,
 ) -> DataFrame:
-    """cosine ≥ threshold pairs, LSH-blocked self-join then exact verify."""
-    base = df.select(
-        F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"),
-        lsh_signature(vec_col, dim, n_planes, seed).alias("_sig"),
-    )
-    a, b = base.alias("a"), base.alias("b")
-    return (
-        a.join(b, on="_sig")
-        .where(F.col("a._id") < F.col("b._id"))
-        .select(
-            F.col("a._id").alias("id_a"),
-            F.col("b._id").alias("id_b"),
-            cosine(F.col("a._v"), F.col("b._v")).alias("cos_sim"),
+    """cosine ≥ threshold pairs, LSH-blocked self-join then exact verify.
+
+    Scale knobs, independent: ``n_planes`` controls bucket SIZE (2^planes
+    buckets — more planes → smaller buckets → the self-join stays
+    sub-quadratic as the corpus grows; plane count must grow ~log2(n)),
+    ``n_tables`` controls RECALL (standard multi-table LSH banding: T
+    independent plane sets, a pair is a candidate if it collides in ANY
+    table — recall 1-(1-p^planes)^T instead of p^planes). Candidates are
+    deduped across tables BEFORE the exact cosine verify, so each pair
+    pays the O(dim) verification once; the shuffles are one self-equi-join
+    per table on that table's signature, never O(n²)."""
+    if n_tables <= 1:
+        base = _spread(df).select(
+            F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"),
+            lsh_signature(vec_col, dim, n_planes, seed).alias("_sig"),
         )
+        a, b = base.alias("a"), base.alias("b")
+        return (
+            a.join(b, on="_sig")
+            .where(F.col("a._id") < F.col("b._id"))
+            .select(
+                F.col("a._id").alias("id_a"),
+                F.col("b._id").alias("id_b"),
+                cosine(F.col("a._v"), F.col("b._v")).alias("cos_sim"),
+            )
+            .where(F.col("cos_sim") >= threshold)
+        )
+
+    base = _spread(df).select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).alias("_v"),
+        *[
+            lsh_signature(vec_col, dim, n_planes, seed + t).alias(f"_sig{t}")
+            for t in range(n_tables)
+        ],
+    )
+    cand = None
+    for t in range(n_tables):
+        a = base.select("_id", f"_sig{t}").alias("a")
+        b = base.select("_id", f"_sig{t}").alias("b")
+        p = (
+            a.join(b, on=f"_sig{t}")
+            .where(F.col("a._id") < F.col("b._id"))
+            .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+        )
+        cand = p if cand is None else cand.unionByName(p)
+    cand = cand.distinct()
+    va = base.select(F.col("_id").alias("id_a"), F.col("_v").alias("_va"))
+    vb = base.select(F.col("_id").alias("id_b"), F.col("_v").alias("_vb"))
+    return (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .select("id_a", "id_b", cosine(F.col("_va"), F.col("_vb")).alias("cos_sim"))
         .where(F.col("cos_sim") >= threshold)
     )

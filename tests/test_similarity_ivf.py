@@ -51,3 +51,33 @@ def test_audio_features_stub_shapes(spark):
         assert len(r["band_abs"]) == 4
         # rms is derived from the exact integer energy
         assert r["rms"] == math.sqrt(r["energy"] / r["n_samples"])
+
+
+def test_embedding_neardup_multi_table_recall(spark):
+    """Multi-table LSH banding: candidates are a superset of the
+    single-table candidates (table 0 shares the single-table planes), so
+    recall vs brute force can only improve; every surviving pair still
+    passes the exact cosine threshold."""
+    import numpy as np
+
+    rs = np.random.RandomState(11)
+    base = rs.normal(size=(60, 16))
+    # plant 10 genuine near-dup pairs (tiny perturbations)
+    rows = [(i, [float(x) for x in base[i]]) for i in range(60)]
+    rows += [(100 + i, [float(x) for x in (base[i] + rs.normal(scale=0.01, size=16))]) for i in range(10)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    def pairs(n_tables):
+        return {
+            (r.id_a, r.id_b)
+            for r in similarity.embedding_neardup_pairs(
+                df, dim=16, threshold=0.95, n_planes=6, n_tables=n_tables
+            ).collect()
+        }
+
+    single, multi = pairs(1), pairs(4)
+    assert single <= multi  # superset: table 0 == the single table
+    planted = {(i, 100 + i) for i in range(10)}
+    # multi-table must recover at least as many planted pairs, and most of them
+    assert len(planted & multi) >= len(planted & single)
+    assert len(planted & multi) >= 8

@@ -218,3 +218,21 @@ def test_mapping_spec_compiles_to_plan(spark):
     assert out["i1"].graphid == "g-123"
     import uuid as _uuid
     _uuid.UUID(out["i1"].tileid)  # valid minted uuid
+
+
+def test_ngram_jaccard_doc_freq_cap_bounds_boilerplate(spark):
+    """A corpus where every doc shares boilerplate shingles must not join
+    quadratically: the default doc-frequency cap drops the boilerplate
+    shingles before the self-join (their contribution to Jaccard was noise
+    anyway). Without the cap, the same corpus pairs every doc with every
+    other doc."""
+    rows = [(i, f"common boiler plate u{i} v{i} w{i}") for i in range(200)]
+    df = spark.createDataFrame(rows, "id long, text string")
+    capped = dedup.ngram_jaccard_pairs(
+        df, "id", "text", k_words=3, threshold=0.05, max_doc_freq=50
+    )
+    assert capped.count() == 0  # boilerplate-only overlap filtered
+    uncapped = dedup.ngram_jaccard_pairs(
+        df, "id", "text", k_words=3, threshold=0.05, max_doc_freq=None
+    )
+    assert uncapped.count() == 200 * 199 // 2  # the quadratic blowup the cap prevents
