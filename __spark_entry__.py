@@ -2,13 +2,13 @@
 
 ``entry`` runs the flagship CDC LWW replay on sf0.001; ``queries`` /
 ``oracle_sql`` expose every implemented operator from SURVEY.md §2 (see the
-§8 coverage map) plus the training-data-pipeline operators: 47 queries, 45
+§8 coverage map) plus the training-data-pipeline operators: 47 queries, 46
 with DuckDB-exact oracles (several generated programmatically from the same
 constants the operators use — minhash affine permutations, simhash bit
-votes, LSH plane literals, media byte math). The two rows-only queries are
-q35 (per-character rolling-hash recurrence — not ANSI-SQL-expressible) and
-q44 (driver-side k-means centroids); both carry exact tests in tests/
-instead.
+votes, LSH plane literals, media byte math, list_reduce Horner fold). The
+single rows-only query is q44 (its coarse quantizer is driver-side k-means
+— not SQL-expressible; tests/test_similarity_ivf.py proves
+exactness-at-full-probe against the brute-force oracle instead).
 """
 
 from __future__ import annotations

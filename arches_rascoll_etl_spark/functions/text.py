@@ -50,6 +50,20 @@ def geojson_point(lon: Column | str, lat: Column | str) -> Column:
     )
 
 
+def valid_coord(col: Column | str) -> Column:
+    """F6 NaN guard: a coordinate is usable iff non-null and non-NaN
+    (reference np.isnan check before building the GeoJSON point,
+    arches_rascoll/places.py:59)."""
+    c = _c(col)
+    return c.isNotNull() & ~F.isnan(c.cast("double"))
+
+
+def geojson_point_safe(lon: Column | str, lat: Column | str) -> Column:
+    """GeoJSON point struct, or null when either coordinate is null/NaN
+    (the reference skips the geo field for such rows)."""
+    return F.when(valid_coord(lon) & valid_coord(lat), geojson_point(lon, lat))
+
+
 def geojson_point_json(lon: Column | str, lat: Column | str) -> Column:
     """GeoJSON Point as a byte-stable JSON string (oracle-reproducible)."""
     return F.concat(

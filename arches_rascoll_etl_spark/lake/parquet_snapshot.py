@@ -451,7 +451,12 @@ class SnapshotTable(LakeTable):
         ))
         return version
 
-    def read_changes(self, from_version: int, to_version: int | None = None) -> DataFrame:
+    def read_changes(
+        self,
+        from_version: int,
+        to_version: int | None = None,
+        include_old: bool = False,
+    ) -> DataFrame:
         """Incremental/CDC read: the net row-level changes between two
         snapshots, as a change stream ``(change_op, <row columns>)`` with
         ``change_op`` in I/U/D — the lake as a *source* for downstream CDC
@@ -462,7 +467,13 @@ class SnapshotTable(LakeTable):
         change touching 1% of buckets scans ~1% of both snapshots; the diff
         itself is one full-outer join co-partitioned on the keys. Deleted
         rows carry the FROM-side values (last known row); updates carry the
-        TO-side values."""
+        TO-side values.
+
+        ``include_old=True`` returns the both-images shape instead:
+        ``(change_op, <keys>, old struct, new struct)`` with the full
+        before/after payloads (old null for I, new null for D) — what
+        downstream incremental aggregate maintenance needs to retract an
+        update's previous contribution (see operators.incremental)."""
         to_v = self._current_version() if to_version is None else to_version
         m_from = self._load_manifest(from_version)
         m_to = self._load_manifest(to_v)
@@ -509,10 +520,16 @@ class SnapshotTable(LakeTable):
             .when(ord_new != ord_old, F.lit("U"))
         )
         picked = F.when(F.col("_new").isNotNull(), F.col("_new")).otherwise(F.col("_old"))
-        return (
-            j.withColumn("change_op", change)
-            .where(F.col("change_op").isNotNull())
-            .select("change_op", *keys, *[picked[c].alias(c) for c in payload])
+        changed_rows = j.withColumn("change_op", change).where(F.col("change_op").isNotNull())
+        if include_old:
+            return changed_rows.select(
+                "change_op",
+                *keys,
+                F.col("_old").alias("old"),
+                F.col("_new").alias("new"),
+            )
+        return changed_rows.select(
+            "change_op", *keys, *[picked[c].alias(c) for c in payload]
         )
 
     def compact(self, tombstone_watermark=None, summary: dict | None = None) -> int:
@@ -678,16 +695,33 @@ class SnapshotTable(LakeTable):
         # agg) this deletes one full aggregation and one exchange per
         # merge — profiled at +30% apply throughput, and fewer barriers is
         # exactly what the N→4N scaling criterion rewards.
+        # Narrow batches (affected buckets ≪ n_buckets) must not pay an
+        # n_buckets-task exchange: at 4096 buckets a dozen-key batch would
+        # schedule 4096 mostly-empty tasks per merge. Below half-occupancy,
+        # size the exchange to the affected-bucket count instead — the
+        # explicit repartition's HashPartitioning(key_cols, |affected|)
+        # still satisfies the LWW groupBy's distribution (no extra
+        # exchange), and the partitionBy write splits each task's rows into
+        # per-bucket files (a bucket may then hold >1 file — the manifest
+        # tracks file lists per bucket, so that's already the contract).
         from pyspark.sql import Observation
 
         spark = self.spark
+        small = len(affected) <= self.n_buckets // 2
         old_sp = spark.conf.get("spark.sql.shuffle.partitions")
         old_coal = spark.conf.get("spark.sql.adaptive.coalescePartitions.enabled", "true")
         t_apply = time.time()
         commit_id = uuid.uuid4().hex[:12]
         try:
-            spark.conf.set("spark.sql.shuffle.partitions", str(self.n_buckets))
-            spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+            if small:
+                unioned = unioned.repartition(
+                    len(affected), *[F.col(k) for k in self.key_cols]
+                )
+            else:
+                # full-width batch: pin the aggregation exchange to the
+                # bucket layout (partition id == bucket id, 1 file/bucket)
+                spark.conf.set("spark.sql.shuffle.partitions", str(self.n_buckets))
+                spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
             merged = lww_latest(unioned, self.key_cols, self.order_cols)
             stored = merged.withColumn(_BUCKET, self._bucket_col(merged))
             obs = Observation()

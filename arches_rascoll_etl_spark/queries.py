@@ -855,7 +855,19 @@ _ORACLES["q34_multimodal_features"] = _q34_oracle()
 
 @query(
     "q35_rolling_hash",
-    None,  # iterative per-char recurrence: not ANSI-SQL-expressible
+    # Horner fold expressed with DuckDB list_reduce over per-char codes.
+    # ascii(char) == utf-8 byte holds because the documents corpus is pure
+    # ASCII (verified at every sf); the engine operates on raw bytes, so a
+    # non-ASCII corpus would need a byte-level oracle instead.
+    """
+    SELECT doc_id,
+           CAST(list_reduce(
+             list_prepend(CAST(0 AS HUGEINT),
+                          [ascii(substr(text, i, 1)) for i in range(1, LENGTH(text) + 1)]),
+             (h, b) -> (h * 257 + b) % 2305843009213693951
+           ) AS BIGINT) AS rolling_hash
+    FROM documents
+    """,
 )
 def q35(spark, sf):
     d = _t(spark, sf, "documents")

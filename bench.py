@@ -138,14 +138,18 @@ def run_bucket_scaling() -> dict:
             hot_fraction=0.1, n_batches=2, schema_add_batch=0,
         )
         tbl = SnapshotTable(spark, os.path.join(tmp, "tbl"), n_buckets=512)
-        ev = change_log(spark, cfg)
-        tbl.merge(ev.where(F.col("batch_id") == 0), batch_id="base")
-        st_wide = tbl.merge(ev.where(F.col("batch_id") == 1), batch_id="wide")
+        # materialize the log first: the merges must measure MERGE cost
+        # (scan + LWW + bucket rewrite), not synthetic-log regeneration
+        ev_path = os.path.join(tmp, "events")
+        change_log(spark, cfg).write.partitionBy("batch_id").parquet(ev_path)
+        ev = spark.read.parquet(ev_path)
+        tbl.merge(ev.where(F.col("batch_id") == 0).drop("batch_id"), batch_id="base")
+        st_wide = tbl.merge(ev.where(F.col("batch_id") == 1).drop("batch_id"), batch_id="wide")
         narrow = ev.where(
             (F.col("batch_id") == 1)
             & (F.col("repo") == "org/repo_00001")
             & (F.pmod(F.xxhash64("path"), F.lit(500)) == 0)
-        )
+        ).drop("batch_id")
         st_narrow = tbl.merge(narrow, batch_id="narrow")
         return {
             "n_buckets": 512,

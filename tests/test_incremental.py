@@ -1,0 +1,94 @@
+"""Incremental aggregate maintenance: delta-maintained rollups over the
+snapshot table's CDC feed must equal full re-aggregation at every version."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from arches_rascoll_etl_spark.lake.parquet_snapshot import SnapshotTable
+from arches_rascoll_etl_spark.operators import incremental as INC
+from arches_rascoll_etl_spark.synth import ChangeLogConfig, batch_events
+
+CFG = ChangeLogConfig(
+    n_events=4_000, n_repos=6, paths_per_repo=60, n_batches=4,
+    schema_add_batch=2, delete_pct=10,
+)
+GROUP, SUMS = ["lang"], ["commit_seq"]
+
+
+def _agg_rows(df):
+    return {
+        tuple(r[c] for c in GROUP): (r["n_rows"], *[r[f"sum_{c}"] for c in SUMS])
+        for r in df.collect()
+    }
+
+
+def test_read_changes_include_old_images(spark, tmp_table_dir):
+    tbl = SnapshotTable(spark, tmp_table_dir, n_buckets=8)
+    for b in range(2):
+        tbl.merge(batch_events(spark, CFG, b), batch_id=f"b{b}")
+    ch = tbl.read_changes(0, 1, include_old=True)
+    rows = ch.collect()
+    assert len(rows) > 0
+    for r in rows:
+        if r["change_op"] == "I":
+            assert r["old"] is None and r["new"] is not None
+        elif r["change_op"] == "D":
+            assert r["old"] is not None and r["new"] is None
+        else:
+            assert r["old"] is not None and r["new"] is not None
+            assert r["new"]["commit_seq"] != r["old"]["commit_seq"]
+
+
+def test_incremental_rollup_equals_batch_at_every_version(spark, tmp_table_dir):
+    tbl = SnapshotTable(spark, tmp_table_dir, n_buckets=8)
+    for b in range(CFG.n_batches):
+        tbl.merge(batch_events(spark, CFG, b), batch_id=f"b{b}")
+
+    agg = INC.maintain_aggregate(tbl, None, None, 0, GROUP, SUMS)
+    assert _agg_rows(agg) == _agg_rows(
+        INC.aggregate_snapshot(tbl.read(version=0), GROUP, SUMS)
+    )
+    for v in range(1, CFG.n_batches):
+        agg = INC.maintain_aggregate(tbl, agg, v - 1, v, GROUP, SUMS)
+        want = INC.aggregate_snapshot(tbl.read(version=v), GROUP, SUMS)
+        assert _agg_rows(agg) == _agg_rows(want), f"diverged at version {v}"
+
+
+def test_incremental_rollup_group_migration_and_retraction(spark, tmp_table_dir):
+    """An update that MOVES a row between groups must retract from the old
+    group and apply to the new one; deleting a group's last row must drop
+    the group entirely."""
+    schema = (
+        "repo string, path string, commit_seq long, commit string, op string,"
+        " lang string, content string, size long"
+    )
+    tbl = SnapshotTable(spark, tmp_table_dir, n_buckets=4)
+    tbl.merge(
+        spark.createDataFrame(
+            [
+                ("r", "a", 1, "c1", "U", "py", "x", 10),
+                ("r", "b", 1, "c1", "U", "py", "y", 20),
+                ("r", "c", 1, "c1", "U", "go", "z", 5),
+            ],
+            schema,
+        ),
+        batch_id="b0",
+    )
+    prev = INC.aggregate_snapshot(tbl.read(version=0), ["lang"], ["size"])
+    # a migrates py -> rs; c (only go row) deleted
+    tbl.merge(
+        spark.createDataFrame(
+            [
+                ("r", "a", 2, "c2", "U", "rs", "x2", 11),
+                ("r", "c", 2, "c2", "D", "go", "", 0),
+            ],
+            schema,
+        ),
+        batch_id="b1",
+    )
+    nxt = INC.maintain_aggregate(tbl, prev, 0, 1, ["lang"], ["size"])
+    got = {r["lang"]: (r["n_rows"], r["sum_size"]) for r in nxt.collect()}
+    assert got == {"py": (1, 20), "rs": (1, 11)}  # go dropped, a migrated
+    want = INC.aggregate_snapshot(tbl.read(version=1), ["lang"], ["size"])
+    assert got == {r["lang"]: (r["n_rows"], r["sum_size"]) for r in want.collect()}

@@ -95,3 +95,88 @@ def test_stream_replay_matches_oracle(spark, tmp_path):
     )
     q2.awaitTermination(60)
     assert tbl.current_version() == v
+
+
+def test_streaming_windowed_agg_drops_late_data(spark, tmp_path):
+    """Watermarked tumbling windows: an event arriving far behind the
+    watermark must NOT reopen its (already closed) window; on-time events
+    aggregate normally. File mtimes order the micro-batches so the late
+    file is processed after the watermark has advanced."""
+    import os
+    import time as _time
+
+    from pyspark.sql import types as T
+
+    from arches_rascoll_etl_spark.streaming.windows import streaming_tumbling_agg
+
+    schema = T.StructType(
+        [T.StructField("ts", T.TimestampType()), T.StructField("event_type", T.StringType())]
+    )
+    base = 1_700_000_400  # epoch seconds, 10-minute-aligned (mod 600 == 0)
+    def ts(mins):
+        import datetime
+        return datetime.datetime.fromtimestamp(base + mins * 60, datetime.timezone.utc).replace(tzinfo=None)
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    # four micro-batches, ordered by descending row count via mtimes:
+    # 1) four on-time events in window [0,10);
+    # 2) watermark advancer (minute 125 -> watermark 115, closes [0,10));
+    # 3) filler batch — Spark >= 3.4 filters late DATA with the PREVIOUS
+    #    batch's watermark (eviction uses the current one), so the late
+    #    row must arrive one batch after the advancer to be dropped;
+    # 4) a LATE event for the long-closed [0,10) window.
+    _time.sleep(0)  # noqa: F841 (kept: files are ordered by row count below)
+    spark.createDataFrame(
+        [(ts(5), "a")] * 4, schema
+    ).coalesce(1).write.mode("append").parquet(src)
+    spark.createDataFrame(
+        [(ts(125), "b")] * 3, schema
+    ).coalesce(1).write.mode("append").parquet(src)
+    spark.createDataFrame(
+        [(ts(126), "b")] * 2, schema
+    ).coalesce(1).write.mode("append").parquet(src)
+    spark.createDataFrame([(ts(6), "a")], schema).coalesce(1).write.mode("append").parquet(src)
+    # deterministic processing order via mtimes (identify files by actual
+    # row count — part-file sizes are not reliable)
+    import pyarrow.parquet as pq
+
+    files = sorted(
+        (os.path.join(src, f) for f in os.listdir(src) if f.endswith(".parquet")),
+        key=lambda f: pq.ParquetFile(f).metadata.num_rows,
+        reverse=True,
+    )
+    assert len(files) == 4
+    for i, f in enumerate(files):
+        os.utime(f, (1_000_000 + i * 1000, 1_000_000 + i * 1000))
+
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    agg = streaming_tumbling_agg(stream, "ts", "10 minutes", "10 minutes", ["event_type"])
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("win_sink")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    rows = {
+        (r["w_start_us"], r["event_type"]): r["n"]
+        for r in spark.sql("SELECT * FROM win_sink").collect()
+    }
+    w0 = base * 1_000_000  # window [minute 0, minute 10)
+    # closed window emitted exactly once with ONLY the on-time events; the
+    # late minute-6 event was dropped, not double-counted or re-emitted
+    assert rows.get((w0, "a")) == 4
+    assert sum(1 for (ws, et) in rows if et == "a") == 1
+    # and the drop is observable in the stream's own metrics
+    dropped = sum(
+        p["stateOperators"][0].get("numRowsDroppedByWatermark", 0)
+        for p in q.recentProgress
+        if p["stateOperators"]
+    )
+    assert dropped == 1

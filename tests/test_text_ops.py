@@ -236,3 +236,22 @@ def test_ngram_jaccard_doc_freq_cap_bounds_boilerplate(spark):
         df, "id", "text", k_words=3, threshold=0.05, max_doc_freq=None
     )
     assert uncapped.count() == 200 * 199 // 2  # the quadratic blowup the cap prevents
+
+
+def test_nan_guard_geojson(spark):
+    """F6: NaN/null coordinates must not produce a geo point (reference
+    places.py:59 np.isnan skip)."""
+    df = spark.createDataFrame(
+        [(1, 23.7, 37.9), (2, float("nan"), 37.9), (3, None, 37.9), (4, 23.7, float("nan"))],
+        "id long, lon double, lat double",
+    )
+    rows = {r.id: r for r in df.select(
+        "id",
+        TX.valid_coord("lon").alias("ok"),
+        TX.geojson_point_safe("lon", "lat").alias("geo"),
+    ).collect()}
+    assert rows[1].ok and rows[1].geo["type"] == "Point"
+    assert rows[1].geo["coordinates"] == [23.7, 37.9]
+    for i in (2, 3, 4):
+        assert rows[i].geo is None
+    assert not rows[2].ok and not rows[3].ok
