@@ -170,6 +170,14 @@ def lsh_candidate_pairs(
             ])
         ).alias("bk"),
     ).select("_id", "bk.band", "bk.band_sig")
+    # materialize the signature table once: Catalyst's exchange reuse does
+    # not fire across the self-join's aliased subtrees, so without this the
+    # full shingle+md5 pipeline runs TWICE. The banded table is tiny
+    # (n_docs × bands rows); localCheckpoint stores it on executors,
+    # truncates lineage, and is freed by the ContextCleaner when the result
+    # is dropped. At 100 TB you'd persist signatures as a table — this is
+    # the in-session equivalent. Halves q28's wall time.
+    banded = banded.localCheckpoint(eager=True)
     a = banded.alias("a")
     b = banded.alias("b")
     pairs = (
@@ -295,7 +303,13 @@ def simhash_neardup_pairs(df: DataFrame, id_col: str, text_col: str, max_hamming
     """SimHash near-dup candidates: block on 16-bit chunks (a pair within
     hamming ≤3 of 64 bits must agree on ≥1 of 4 chunks), verify hamming via
     bit_count(xor). Shuffle = groupBy(chunk value), never O(n²)."""
-    sh = simhash_table(df, id_col, text_col).withColumnRenamed("simhash", "sim")
+    # materialized once — the chunk self-join would otherwise run the full
+    # tokenize+md5+vote pipeline twice (see lsh_candidate_pairs)
+    sh = (
+        simhash_table(df, id_col, text_col)
+        .withColumnRenamed("simhash", "sim")
+        .localCheckpoint(eager=True)
+    )
     chunks = sh.select(
         "_id", "sim",
         F.explode(F.array(*[

@@ -254,10 +254,12 @@ def embedding_neardup_pairs(
     pays the O(dim) verification once; the shuffles are one self-equi-join
     per table on that table's signature, never O(n²)."""
     if n_tables <= 1:
+        # materialized once — the self-join would otherwise evaluate the
+        # plane dot products twice (see dedup.lsh_candidate_pairs)
         base = _spread(df).select(
             F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"),
             lsh_signature(vec_col, dim, n_planes, seed).alias("_sig"),
-        )
+        ).localCheckpoint(eager=True)
         a, b = base.alias("a"), base.alias("b")
         return (
             a.join(b, on="_sig")
@@ -277,7 +279,7 @@ def embedding_neardup_pairs(
             lsh_signature(vec_col, dim, n_planes, seed + t).alias(f"_sig{t}")
             for t in range(n_tables)
         ],
-    )
+    ).localCheckpoint(eager=True)  # consumed 2·T+2 times below
     cand = None
     for t in range(n_tables):
         a = base.select("_id", f"_sig{t}").alias("a")

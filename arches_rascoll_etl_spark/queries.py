@@ -1281,6 +1281,60 @@ _ORACLES["q47_tile_data_expansion"] = """
 
 
 @query(
+    "q48_incremental_rollup",
+    """
+    WITH ranked AS (
+      SELECT user_id, event_type, event_id, value,
+             CASE WHEN value < 1 THEN 'D' ELSE 'U' END AS op,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+      FROM events
+    ),
+    final AS (SELECT * FROM ranked WHERE rn = 1 AND op <> 'D')
+    SELECT event_type, COUNT(*) AS n_rows, SUM(event_id) AS sum_event_id
+    FROM final GROUP BY event_type
+    """,
+)
+def q48(spark, sf):
+    """Incremental aggregate maintenance: the ORACLE batch-aggregates the
+    final LWW state; the Spark side instead aggregates a PREFIX snapshot,
+    diffs the two snapshots into a before/after-image change stream, and
+    folds the deltas in (operators/incremental.py). Equality proves the
+    delta path — including group migration when a user's latest event_type
+    changes between snapshots and retraction when a user's last event
+    becomes a delete."""
+    from .operators import incremental as INC
+
+    def snap(df):
+        return lww.final_state(
+            df.withColumn("op", F.when(F.col("value") < 1, "D").otherwise("U")),
+            keys=("user_id",),
+            order_cols=("event_id",),
+        )
+
+    ev = _t(spark, sf, "events").select("user_id", "event_type", "event_id", "value")
+    cutoff = 5000
+    s_old = snap(ev.where(F.col("event_id") < cutoff))
+    s_new = snap(ev)
+
+    payload = ["event_type", "event_id", "value", "op"]
+    o = s_old.select("user_id", F.struct(*payload).alias("old"))
+    n = s_new.select("user_id", F.struct(*payload).alias("new"))
+    changes = o.join(n, "user_id", "full_outer").select(
+        F.when(F.col("old").isNull(), "I")
+        .when(F.col("new").isNull(), "D")
+        .otherwise("U")
+        .alias("change_op"),
+        "user_id",
+        "old",
+        "new",
+    )
+    prev = INC.aggregate_snapshot(s_old, ["event_type"], ["event_id"])
+    delta = INC.agg_delta(changes, ["event_type"], ["event_id"])
+    out = INC.apply_agg_delta(prev, delta, ["event_type"], ["event_id"])
+    return out.select("event_type", "n_rows", F.col("sum_event_id"))
+
+
+@query(
     "q43_nations_with_both",
     """
     SELECT c_nationkey AS nationkey FROM customer
