@@ -2,13 +2,14 @@
 
 ``entry`` runs the flagship CDC LWW replay on sf0.001; ``queries`` /
 ``oracle_sql`` expose every implemented operator from SURVEY.md §2 (see the
-§8 coverage map) plus the training-data-pipeline operators: 47 queries, 46
-with DuckDB-exact oracles (several generated programmatically from the same
-constants the operators use — minhash affine permutations, simhash bit
-votes, LSH plane literals, media byte math, list_reduce Horner fold). The
-single rows-only query is q44 (its coarse quantizer is driver-side k-means
-— not SQL-expressible; tests/test_similarity_ivf.py proves
-exactness-at-full-probe against the brute-force oracle instead).
+§8 coverage map) plus the training-data-pipeline operators: 48 queries, ALL
+48 with DuckDB-exact oracles (several generated programmatically from the
+same constants the operators use — minhash affine permutations, simhash bit
+votes, LSH plane literals, media byte math, list_reduce Horner fold). q44
+runs the full IVF machinery (driver k-means quantizer, Arrow-batched cell
+assignment, probe join) at n_probe == n_centroids, the documented exact
+degradation, so its oracle is the brute-force cosine top-k SQL;
+tests/test_similarity_ivf.py covers partial-probe recall.
 """
 
 from __future__ import annotations

@@ -1057,14 +1057,36 @@ _ORACLES["q42_frame_sample"] = f"""
     """
 
 
-@query("q44_ivf_topk")  # k-means centroids: rows-only driver check (see
-# tests/test_similarity_ivf.py for the exact-equality-at-full-probe proof)
+@query(
+    "q44_ivf_topk",
+    # n_probe == n_centroids degrades IVF to exact brute force (every cell
+    # probed), so the oracle is the same brute-force cosine top-k SQL as
+    # q32 — while the full IVF machinery (driver k-means quantizer,
+    # Arrow-batched cell assignment, probe join on cell id) still executes.
+    # Partial-probe recall is covered by tests/test_similarity_ivf.py.
+    """
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    q AS (SELECT vec_id, e FROM v WHERE vec_id < 3),
+    scored AS (
+      SELECT q.vec_id AS query_id, v.vec_id AS match_id,
+             list_dot_product(q.e, v.e) / (sqrt(list_dot_product(q.e, q.e)) * sqrt(list_dot_product(v.e, v.e))) AS cs
+      FROM v JOIN q ON v.vec_id <> q.vec_id
+    )
+    SELECT query_id, match_id, ROUND(cs, 4) AS cos_sim, rank FROM (
+      SELECT query_id, match_id, cs, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cs DESC, match_id ASC) AS rank
+      FROM scored
+    ) WHERE rank <= 5
+    """,
+)
 def q44(spark, sf):
     """IVF ANN: coarse quantizer cells + probe-n re-rank (the 'inverted
     file' scale path next to the LSH one in q41)."""
     e = _t(spark, sf, "embeddings")
-    return similarity.ivf_topk(
-        e, e.where(F.col("vec_id") < 3), k=5, n_centroids=8, n_probe=2
+    out = similarity.ivf_topk(
+        e, e.where(F.col("vec_id") < 3), k=5, n_centroids=8, n_probe=8
+    )
+    return out.select(
+        "query_id", "match_id", F.round("cos_sim", 4).alias("cos_sim"), "rank"
     )
 
 
