@@ -367,13 +367,27 @@ class SnapshotTable(LakeTable):
         files = [f for bucket_files in m["files"].values() for f in bucket_files]
         return self._read_files(files, schema)
 
+    # below this many lookup keys, read_keys also pushes per-column In
+    # filters into the parquet scan (see docstring) — larger lists would
+    # bloat the filter expression for no skipping benefit
+    _PUSHDOWN_MAX_KEYS = 256
+
     def read_keys(self, keys: list[tuple], version: int | None = None) -> DataFrame:
         """Bucket-pruned point lookup: read ONLY the data files of the
         buckets the requested keys hash into (manifest-level pruning — the
         read-side twin of the COW write's bucket selectivity; the moral
         equivalent of Iceberg's partition pruning). ``keys`` is a list of
         key-column value tuples. At 4096 buckets, a lookup of a handful of
-        keys scans ~0.1% of a 100 TB table."""
+        keys scans ~0.1% of a 100 TB table.
+
+        Within the surviving bucket files, a second pruning level applies
+        for small key lists: per-key-column ``In`` filters (a superset of
+        the exact key set — the per-column cartesian) are pushed into the
+        parquet scan, where row-group min/max and dictionary stats skip
+        row groups. This bites because merge's LWW aggregation is a
+        sort-aggregate over the key columns, so every data file is stored
+        key-sorted and row-group key ranges are tight. The exact semi-join
+        then filters the superset to the requested tuples."""
         import pyspark.sql.functions as _F
 
         v = self._current_version() if version is None else version
@@ -390,6 +404,10 @@ class SnapshotTable(LakeTable):
         }
         files = [f for b, fl in m["files"].items() if b in wanted for f in fl]
         df = self._read_files(files, schema)
+        if 0 < len(keys) <= self._PUSHDOWN_MAX_KEYS:
+            for i, k in enumerate(self.key_cols):
+                vals = sorted({t[i] for t in keys})
+                df = df.where(_F.col(k).isin(vals))
         # semi-join against the key set (broadcast — the key list is small)
         out = df.join(_F.broadcast(key_df), on=self.key_cols, how="left_semi")
         return (
@@ -579,6 +597,49 @@ class SnapshotTable(LakeTable):
             version, cur, m["schema"], files_map,
             {"operation": "compact", **(summary or {})},
         ))
+        return version
+
+    def rebucket(self, n_buckets: int, summary: dict | None = None) -> int:
+        """Layout migration: rewrite the whole table under a new bucket
+        count, as one snapshot.
+
+        A table sized for 32 buckets at bootstrap needs ~4096 once it holds
+        100 TB — COW merge cost tracks touched buckets, so bucket count must
+        grow with the table (BENCH/BASELINE.md's bucket-count realism row).
+        This is the sanctioned migration: a full read → one exchange on the
+        new HashPartitioning(key_cols, n) → bucketed rewrite (tombstones
+        carried along — retention semantics survive the move). Subsequent
+        opens adopt the manifest's new count (``_validate_manifest``), so a
+        handle constructed with a stale default cannot split the layout.
+        Time travel to pre-rebucket snapshots still works: each manifest
+        carries its own n_buckets. This is also the documented rewrite path
+        for a future BUCKET_FN_ID change (read with the old build, rebucket
+        with the new)."""
+        if n_buckets < 1:
+            raise ValueError(f"n_buckets must be >= 1 (got {n_buckets})")
+        cur = self._current_version()
+        if cur is None:
+            raise FileNotFoundError(f"table {self.path} has no snapshots")
+        t0 = time.time()
+        m = self._load_manifest(cur)  # adopts the CURRENT count for the read
+        stored = self._read_stored(cur)
+        old_n = self.n_buckets
+        self.n_buckets = n_buckets
+        try:
+            data = stored.withColumn(_BUCKET, self._bucket_col(stored))
+            commit_id = uuid.uuid4().hex[:12]
+            files = self._write_buckets(data, commit_id)
+            version = cur + 1
+            self._commit(self._new_manifest(
+                version, cur, m["schema"], files,
+                {"operation": "rebucket", "from_buckets": old_n,
+                 "to_buckets": n_buckets,
+                 "wall_ms": round((time.time() - t0) * 1000, 1),
+                 **(summary or {})},
+            ))
+        except BaseException:
+            self.n_buckets = old_n  # failed rewrite must not poison the handle
+            raise
         return version
 
     def merge(self, batch: DataFrame, batch_id: str, summary: dict | None = None) -> MergeStats:

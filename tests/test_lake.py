@@ -430,3 +430,54 @@ def test_merge_at_512_buckets_rewrites_only_touched(spark, tmp_table_dir):
             assert m1["files"][b] == fl
     # and the state is still exactly base ⊕ narrow under LWW
     assert tbl.read().count() > 0
+
+
+def test_rebucket_layout_migration(spark, tmp_table_dir):
+    """rebucket() rewrites the table under a new bucket count in one
+    snapshot: state identical, tombstones carried, manifest adopts the new
+    count, subsequent merges prune under the new layout, and time travel
+    to the pre-rebucket snapshot still reads under its own layout."""
+    tbl = _mk(spark, tmp_table_dir)  # n_buckets=8
+    for b in range(3):
+        tbl.merge(batch_events(spark, CFG, b), batch_id=f"b{b}")
+    before = _state_set(tbl.read())
+    v_old = tbl.current_version()
+    stored_before = tbl._read_stored(v_old).count()  # incl. tombstones
+
+    v_new = tbl.rebucket(64)
+    assert v_new == v_old + 1 and tbl.n_buckets == 64
+    m = tbl._load_manifest(v_new)
+    assert m["n_buckets"] == 64 and m["summary"]["operation"] == "rebucket"
+    assert len(m["files"]) > 8  # actually spread over the new layout
+    assert _state_set(tbl.read()) == before
+    assert tbl._read_stored(v_new).count() == stored_before  # tombstones kept
+
+    # a fresh handle with a stale constructor default adopts 64
+    tbl2 = SnapshotTable(spark, tmp_table_dir, n_buckets=8)
+    st = tbl2.merge(batch_events(spark, CFG, 3), batch_id="b3")
+    assert tbl2.n_buckets == 64
+    assert max(st.affected_buckets) < 64 and st.total_buckets == 64
+
+    # time travel to the pre-rebucket snapshot still works
+    assert _state_set(tbl2.read(version=v_old)) == before
+
+
+def test_read_keys_pushes_in_filters_to_scan(spark, tmp_table_dir):
+    """Small key lists push per-column In filters into the parquet scan
+    (row-group skipping inside bucket files); result unchanged."""
+    import io
+    from contextlib import redirect_stdout
+
+    tbl = _mk(spark, tmp_table_dir)
+    tbl.merge(batch_events(spark, CFG, 0), batch_id="b0")
+    sample = [(r["repo"], r["path"]) for r in tbl.read().limit(2).collect()]
+    out = tbl.read_keys(sample)
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        out.explain(mode="formatted")
+    plan = buf.getvalue()
+    # single-value In collapses to EqualTo; both forms are pushed scans
+    assert "PushedFilters" in plan
+    assert "In(path" in plan or "EqualTo(path" in plan
+    assert "In(repo" in plan or "EqualTo(repo" in plan
+    assert out.count() == len(sample)
