@@ -1,0 +1,127 @@
+"""Dataset-curation operators for training-data pipelines: deterministic
+hash splits, token-budget sequence packing, PII redaction.
+
+All pure Column expressions (whole-stage codegen, no Python), each with an
+explicit scale story:
+
+* ``hash_split``     — content-addressed train/val/test assignment from
+                       md5(id). No ``rand()``: the split of a row depends
+                       only on the row, so it is stable across runs,
+                       engines, retries, and cluster sizes — re-ingesting a
+                       shard cannot migrate documents between splits (the
+                       property a 100 TB curation pipeline actually needs;
+                       ``sample()``/``rand(seed)`` are partition-layout
+                       dependent). One narrow projection, zero shuffles.
+* ``pack_sequences`` — greedy token-budget binning: documents stream in a
+                       deterministic order within a shard and a document
+                       starts a new bin when the running token total
+                       crosses the budget. One window aggregation per
+                       shard; shards (e.g. lang, or pmod(hash(id), S))
+                       bound the per-task state, so no global sort ever
+                       happens — at 100 TB each shard's window is an
+                       independent task after one shuffle.
+* ``redact_pii``     — email / long-digit-run redaction via regexp_replace
+                       (Spark replaces globally; the DuckDB oracle adds the
+                       'g' flag). Regex kept to syntax common to Java and
+                       RE2 (no backrefs, no lookaround) so oracles and
+                       RE2-based engines agree byte-for-byte.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from . import textstats as TS
+
+
+def _c(col: Column | str) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+#: first 4 hex digits of md5 → 16 bits of uniform hash; plenty for
+#: percentage-granularity splits and cheap to reproduce in any SQL engine
+_SPLIT_HEX_DIGITS = 4
+
+# PII patterns — the subset of regex syntax Java and RE2 share
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+DIGIT_RUN_RE = r"[0-9]{6,}"
+
+
+def hash_split_bucket(id_col: Column | str, n_buckets: int = 100) -> Column:
+    """Deterministic bucket in [0, n_buckets) from the first 16 bits of
+    md5(cast(id as string)). Uniform, content-addressed, engine-portable."""
+    h16 = F.conv(
+        F.substring(F.md5(_c(id_col).cast("string")), 1, _SPLIT_HEX_DIGITS), 16, 10
+    ).cast("long")
+    return (h16 % F.lit(n_buckets)).alias("split_bucket")
+
+
+def hash_split(
+    id_col: Column | str, train_pct: int = 90, val_pct: int = 5
+) -> Column:
+    """'train' | 'val' | 'test' by hash bucket — stable percentage split."""
+    b = hash_split_bucket(id_col)
+    return (
+        F.when(b < train_pct, F.lit("train"))
+        .when(b < train_pct + val_pct, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+
+
+def pack_sequences(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    budget: int,
+    shard_col: str,
+) -> DataFrame:
+    """Assign each document to a training-sequence bin of ~``budget``
+    tokens: documents are consumed in ``id_col`` order within each shard,
+    and ``seq_bin`` = how many full budgets precede the document's first
+    token. Returns (shard, id, n_tokens, seq_bin).
+
+    A document longer than the budget occupies its bin alone (the bin
+    index still advances past it — downstream chunking splits it). The
+    formulation is one ordered-window running sum per shard: exact,
+    deterministic, and expressible in any SQL engine for oracle checking.
+    """
+    n = TS.bpe_ish_token_count(_c(text_col))
+    w = (
+        Window.partitionBy(shard_col)
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum(n).over(w)
+    return df.select(
+        F.col(shard_col).alias("shard"),
+        F.col(id_col).alias(id_col),
+        n.alias("n_tokens"),
+        F.floor((cum - n) / F.lit(budget)).cast("long").alias("seq_bin"),
+    )
+
+
+def redact_pii(col: Column | str) -> Column:
+    """Replace emails with <EMAIL>, then 6+-digit runs with <NUM> (order
+    matters: emails may contain digit runs)."""
+    c = F.regexp_replace(_c(col), EMAIL_RE, "<EMAIL>")
+    return F.regexp_replace(c, DIGIT_RUN_RE, "<NUM>")
+
+
+def pii_counts(col: Column | str) -> dict[str, Column]:
+    """Match counts per PII class (pre-redaction audit metric)."""
+    return {
+        "n_emails": F.size(
+            F.regexp_extract_all(_c(col), F.lit(f"({EMAIL_RE})"), 1)
+        ).cast("long").alias("n_emails"),
+        "n_digit_runs": F.size(
+            F.regexp_extract_all(redact_pii_emails_only(col), F.lit(f"({DIGIT_RUN_RE})"), 1)
+        ).cast("long").alias("n_digit_runs"),
+    }
+
+
+def redact_pii_emails_only(col: Column | str) -> Column:
+    """Email-only redaction (used so digit-run counts don't double-count
+    digits inside addresses)."""
+    return F.regexp_replace(_c(col), EMAIL_RE, "<EMAIL>")

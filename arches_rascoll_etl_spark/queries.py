@@ -1369,3 +1369,98 @@ def q43(spark, sf):
     c = _t(spark, sf, "customer").select(F.col("c_nationkey").alias("nationkey"))
     s = _t(spark, sf, "supplier").select(F.col("s_nationkey").alias("nationkey"))
     return c.intersect(s)
+
+
+# ------------------------------------------------------ dataset curation
+
+from .functions import curation as CU  # noqa: E402
+
+
+def _q49_oracle() -> str:
+    # bucket = int(first 4 hex digits of md5(doc_id)) % 100 — generated
+    # from the same constants as curation.hash_split_bucket
+    hx = "md5(CAST(doc_id AS VARCHAR))"
+    val = " + ".join(
+        f"{_sql_hexval(hx, i + 1)}*{16 ** (3 - i)}" for i in range(4)
+    )
+    return (
+        "SELECT doc_id, CAST((" + val + ") % 100 AS BIGINT) AS split_bucket,\n"
+        "       CASE WHEN (" + val + ") % 100 < 90 THEN 'train'\n"
+        "            WHEN (" + val + ") % 100 < 95 THEN 'val'\n"
+        "            ELSE 'test' END AS split\n"
+        "FROM documents"
+    )
+
+
+@query("q49_hash_split", _q49_oracle())
+def q49(spark, sf):
+    """Deterministic content-addressed train/val/test split (no rand():
+    stable across runs, engines, partition layouts — the reproducibility
+    property a curation pipeline needs; see functions/curation.py)."""
+    d = _t(spark, sf, "documents")
+    return d.select(
+        "doc_id",
+        CU.hash_split_bucket("doc_id").alias("split_bucket"),
+        CU.hash_split("doc_id").alias("split"),
+    )
+
+
+_ORACLES_Q50 = (
+    "WITH t AS (SELECT lang AS shard, doc_id,\n"
+    "  CAST(len(regexp_extract_all(text, '([A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s])')) AS BIGINT) AS n_tokens\n"
+    "  FROM documents)\n"
+    "SELECT shard, doc_id, n_tokens,\n"
+    "  CAST(floor((SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id\n"
+    "       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens) / 512) AS BIGINT) AS seq_bin\n"
+    "FROM t"
+)
+
+
+@query("q50_sequence_packing", _ORACLES_Q50)
+def q50(spark, sf):
+    """Token-budget sequence packing: greedy 512-token bins per shard
+    (shard = lang), one ordered-window running sum per shard — no global
+    sort; each shard is an independent task after one shuffle."""
+    d = _t(spark, sf, "documents")
+    return CU.pack_sequences(d, "doc_id", "text", budget=512, shard_col="lang")
+
+
+_EMAIL_SQL = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+_DIGIT_SQL = "[0-9]{6,}"
+
+_ORACLE_Q51 = (
+    "WITH t AS (SELECT doc_id,\n"
+    "  text || ' Contact user' || CAST(doc_id AS VARCHAR)\n"
+    "       || '@example.com ref 99887766x' AS combined FROM documents),\n"
+    "r AS (SELECT doc_id, combined,\n"
+    "  regexp_replace(combined, '" + _EMAIL_SQL + "', '<EMAIL>', 'g') AS no_email\n"
+    "  FROM t)\n"
+    "SELECT doc_id,\n"
+    "  CAST(len(regexp_extract_all(combined, '" + _EMAIL_SQL + "')) AS BIGINT) AS n_emails,\n"
+    "  CAST(len(regexp_extract_all(no_email, '" + _DIGIT_SQL + "')) AS BIGINT) AS n_digit_runs,\n"
+    "  md5(regexp_replace(no_email, '" + _DIGIT_SQL + "', '<NUM>', 'g')) AS redacted_md5\n"
+    "FROM r"
+)
+
+
+@query("q51_pii_redaction", _ORACLE_Q51)
+def q51(spark, sf):
+    """PII redaction sweep: emails then long digit runs, with per-class
+    audit counts. The input plants one deterministic email and digit run
+    per row so redaction is exercised on every document; Spark replaces
+    globally by default, the oracle passes the 'g' flag."""
+    d = _t(spark, sf, "documents")
+    combined = F.concat(
+        F.col("text"),
+        F.lit(" Contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com ref 99887766x"),
+    )
+    t = d.select("doc_id", combined.alias("combined"))
+    counts = CU.pii_counts("combined")
+    return t.select(
+        "doc_id",
+        counts["n_emails"].alias("n_emails"),
+        counts["n_digit_runs"].alias("n_digit_runs"),
+        F.md5(CU.redact_pii("combined")).alias("redacted_md5"),
+    )
