@@ -2,8 +2,8 @@
 
 ``entry`` runs the flagship CDC LWW replay on sf0.001; ``queries`` /
 ``oracle_sql`` expose every implemented operator from SURVEY.md §2 (see the
-§8 coverage map) plus the training-data-pipeline operators: 51 queries, ALL
-51 with DuckDB-exact oracles (several generated programmatically from the
+§8 coverage map) plus the training-data-pipeline operators: 52 queries, ALL
+52 with DuckDB-exact oracles (several generated programmatically from the
 same constants the operators use — minhash affine permutations, simhash bit
 votes, LSH plane literals, media byte math, list_reduce Horner fold). q44
 runs the full IVF machinery (driver k-means quantizer, Arrow-batched cell

@@ -1464,3 +1464,50 @@ def q51(spark, sf):
         counts["n_digit_runs"].alias("n_digit_runs"),
         F.md5(CU.redact_pii("combined")).alias("redacted_md5"),
     )
+
+
+_Q52_KEYS = [(1, "click"), (2, "view"), (3, "purchase"), (4, "error")]
+
+_ORACLE_Q52 = (
+    "SELECT user_id, event_type, content, commit_seq FROM (\n"
+    "  SELECT user_id, event_type, value AS content, event_id AS commit_seq,\n"
+    "         CASE WHEN value < 1 THEN 'D' ELSE 'U' END AS op,\n"
+    "         ROW_NUMBER() OVER (PARTITION BY user_id, event_type ORDER BY event_id DESC) AS rn\n"
+    "  FROM events\n"
+    ") WHERE rn = 1 AND op <> 'D' AND (\n"
+    + " OR ".join(
+        f"(user_id = {u} AND event_type = '{t}')" for u, t in _Q52_KEYS
+    )
+    + ")"
+)
+
+
+@query("q52_lake_point_lookup", _ORACLE_Q52)
+def q52(spark, sf):
+    """End-to-end lake path inside the driver contract: replay the events
+    CDC log into a bucketed copy-on-write SnapshotTable (two merges split
+    arbitrarily by event_id parity — LWW makes apply order irrelevant),
+    then answer a point lookup via read_keys, which prunes to the keys'
+    buckets at the manifest level and pushes In filters into the parquet
+    scan. The lake table lives in a per-call temp dir that outlives the
+    returned (lazy) DataFrame; the OS owns its cleanup."""
+    import tempfile
+
+    from .lake.parquet_snapshot import SnapshotTable
+
+    ev = _t(spark, sf, "events").select(
+        F.col("user_id"),
+        F.col("event_type"),
+        F.col("value").alias("content"),
+        F.col("event_id").alias("commit_seq"),
+        F.when(F.col("value") < 1, "D").otherwise("U").alias("op"),
+    )
+    d = tempfile.mkdtemp(prefix="q52_lake_")
+    tbl = SnapshotTable(
+        spark, d, key_cols=("user_id", "event_type"),
+        order_cols=("commit_seq",), n_buckets=16,
+    )
+    tbl.merge(ev.where(F.pmod("commit_seq", F.lit(2)) == 0), batch_id="even")
+    tbl.merge(ev.where(F.pmod("commit_seq", F.lit(2)) == 1), batch_id="odd")
+    out = tbl.read_keys(_Q52_KEYS)
+    return out.select("user_id", "event_type", "content", "commit_seq")
