@@ -356,11 +356,19 @@ def _update_scaling_history(cdc: dict) -> dict:
         (speedups[len(speedups) // 2 - 1] + speedups[len(speedups) // 2]) / 2
     )
     noise_windows = sum(1 for s in speedups if s / ratio > 1.0)
+    lo_tp = sorted(h["lo_events_per_sec"] for h in same_pair)
+    median_lo_tp = lo_tp[len(lo_tp) // 2] if len(lo_tp) % 2 else (
+        (lo_tp[len(lo_tp) // 2 - 1] + lo_tp[len(lo_tp) // 2]) / 2
+    )
     return {
         "n_runs_in_history": len(same_pair),
         "median_window_speedup": round(median_speedup, 3),
         "median_window_efficiency": round(median_speedup / ratio, 3),
         "noise_windows_over_unity": noise_windows,
+        "median_window_lo_events_per_sec": round(median_lo_tp, 1),
+        "this_window_grant_vs_median": round(
+            cdc["lo_events_per_sec"] / median_lo_tp, 3
+        ) if median_lo_tp else None,
     }
 
 
@@ -452,6 +460,20 @@ def write_bench_md(times: dict[str, float], cdc: dict, buckets: dict | None = No
             " physically impossible on 4× cores, flagged as noise (their lo runs",
             "  were themselves noise-depressed), never reported as capability.",
         ]
+        grant = hist.get("this_window_grant_vs_median")
+        if grant is not None and (grant < 0.67 or grant > 1.5):
+            hi_lo = "BELOW" if grant < 1 else "ABOVE"
+            hist_tp = hist.get("median_window_lo_events_per_sec")
+            lines += [
+                f"* **Host-grant flag**: this window's absolute low-level throughput"
+                f" ({cdc['lo_events_per_sec']} ev/s) is {grant}× the historical"
+                f" median ({hist_tp} ev/s) — the host's granted capacity was"
+                f" far {hi_lo} normal while this window ran (identical code+input;"
+                " corroborated by the CPU/bandwidth ceilings and steal% above)."
+                " Compare ABSOLUTE events/sec across rounds only through this lens;"
+                " the 4-vs-16 RATIO above was still measured under equal,"
+                " interleaved conditions.",
+            ]
     if buckets:
         lines += [
             "",
