@@ -21,10 +21,12 @@ Spark-first formulations, each with an explicit scale story:
                        (bounded by a blocking key to stay sub-quadratic);
                        used to verify LSH candidates at small scale.
 * simhash_table      — 64-bit simhash over word tokens as a pure
-                       DataFrame expression: explode tokens → md5 → 64
-                       per-bit vote sums (one hash-agg, map-side combine)
-                       → sign bits packed into a signed long. No Python at
-                       all (the old pandas-UDF version hashed tokens in an
+                       DataFrame expression: explode tokens → md5 → SWAR
+                       bit-count sums (16 masked-shift aggregates carrying
+                       four 16-bit lane counters each — not 64 per-bit
+                       sums; one hash-agg, map-side combine) → sign bits
+                       packed into a signed long. No Python at all (the
+                       old pandas-UDF version hashed tokens in an
                        interpreted loop), and md5 + integer bit math make
                        the DuckDB oracle exact.
 * embedding_neardup  — cosine ≥ threshold pairs via LSH-style blocking on
@@ -256,16 +258,18 @@ def simhash_table(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """(_id, simhash): 64-bit SimHash over word tokens as pure Column
     expressions — no Python anywhere.
 
-    Token hash = first 64 bits of md5(token) (16 hex nibbles). Votes: for
-    each of the 64 bit positions, sum ±1 across tokens (one hash-agg with
-    map-side combine — a boilerplate-heavy corpus partially aggregates
-    before the shuffle). Fingerprint = two's-complement packing of the
-    vote signs (bit 0 is the sign bit, weight -2^63). Tokenless docs get
-    simhash 0 via a zero-weight sentinel token, so no post-join is needed
-    and every input row appears exactly once in the output. md5 + integer
-    bit math keep the DuckDB oracle byte-exact (the previous pandas-UDF
-    used blake2b, which no SQL engine exposes, and hashed tokens in an
-    interpreted per-token loop)."""
+    Token hash = first 64 bits of md5(token). Votes: per-bit counts
+    accumulated SWAR-style — each of 16 aggregates sums a masked shift of
+    the hash, carrying four bit positions in 16-bit lanes (one hash-agg
+    with map-side combine — a boilerplate-heavy corpus partially
+    aggregates before the shuffle; per-token expression work is 16 terms,
+    not 64). Fingerprint = two's-complement packing of the vote signs
+    (bit 0 is the sign bit, weight -2^63), decided once per doc after the
+    aggregation. Tokenless docs get simhash 0 via a zero-weight sentinel
+    token, so no post-join is needed and every input row appears exactly
+    once in the output. md5 + integer bit math keep the DuckDB oracle
+    byte-exact (the previous pandas-UDF used blake2b, which no SQL engine
+    exposes, and hashed tokens in an interpreted per-token loop)."""
     narrow = _spread(df.select(_c(id_col).alias("_id"), _c(text_col).alias("_t")))
     tok_arr = F.filter(F.split(F.trim(F.col("_t")), r"\s+"), lambda t: F.length(t) > 0)
     toks = narrow.select(
@@ -275,26 +279,44 @@ def simhash_table(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
     weighted = toks.select(
         "_id",
-        (F.length("_tok") > 0).cast("int").alias("_w"),
+        (F.length("_tok") > 0).cast("long").alias("_w"),
         F.md5("_tok").alias("_m"),
     )
-    # top 64 md5 bits as two 32-bit halves (2 conv calls per token, not 16)
-    halves = weighted.select(
-        "_id",
-        "_w",
-        F.conv(F.substring("_m", 1, 8), 16, 10).cast("long").alias("_h1"),
-        F.conv(F.substring("_m", 9, 8), 16, 10).cast("long").alias("_h2"),
+    # top 64 md5 bits as ONE long (two 32-bit conv calls — conv of 16 hex
+    # chars would overflow signed parsing), zeroed for the sentinel row so
+    # it contributes no bit votes
+    h64 = (
+        F.shiftleft(F.conv(F.substring("_m", 1, 8), 16, 10).cast("long"), 32)
+        .bitwiseOR(F.conv(F.substring("_m", 9, 8), 16, 10).cast("long"))
+        * F.col("_w")
     )
-    vote_aggs = []
-    for j in range(64):
-        src, shift = ("_h1", 31 - j) if j < 32 else ("_h2", 63 - j)
-        bit = F.shiftright(F.col(src), shift).bitwiseAND(F.lit(1))
-        vote_aggs.append(F.sum((bit * 2 - 1) * F.col("_w")).alias(f"_v{j}"))
-    votes = halves.groupBy("_id").agg(*vote_aggs)
+    packed = weighted.select("_id", F.col("_w"), h64.alias("_h"))
+    # SWAR bit-count aggregation: 16 masked-shift sums instead of 64
+    # per-bit sums. Sum g accumulates, in four 16-bit lanes, the counts of
+    # bits g, g+16, g+32, g+48 of _h — the per-TOKEN work drops from 64
+    # shift/AND/±1 terms to 16 shift/AND terms; the 64 sign decisions move
+    # to the post-aggregation side (once per doc). Lane width caps docs at
+    # 65535 tokens (enforce upstream by chunking longer docs; whitespace
+    # tokens of real corpora sit far below).
+    lane_mask = 0x0001000100010001
+    aggs = [F.sum(F.col("_w")).alias("_n")] + [
+        F.sum(
+            F.shiftrightunsigned(F.col("_h"), g).bitwiseAND(F.lit(lane_mask))
+        ).alias(f"_s{g}")
+        for g in range(16)
+    ]
+    votes = packed.groupBy("_id").agg(*aggs)
+    # fingerprint bit j (MSB-first md5 order) lives at combined-bit
+    # p = 63-j = g + 16*k → counter k of sum g; vote_j > 0 ⟺ 2*count > n
     fp = None
     for j in range(64):
+        p = 63 - j
+        g, k = p % 16, p // 16
+        count = F.shiftrightunsigned(F.col(f"_s{g}"), 16 * k).bitwiseAND(F.lit(0xFFFF))
         w = -(1 << 63) if j == 0 else (1 << (63 - j))
-        term = F.when(F.col(f"_v{j}") > 0, F.lit(w).cast("long")).otherwise(F.lit(0).cast("long"))
+        term = F.when(count * 2 > F.col("_n"), F.lit(w).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
         fp = term if fp is None else fp + term
     return votes.select("_id", fp.alias("simhash"))
 
