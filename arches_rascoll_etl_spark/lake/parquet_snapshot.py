@@ -324,6 +324,59 @@ class SnapshotTable(LakeTable):
                 os.rmdir(cd)
         return {"removed_snapshots": len(expire), "removed_files": removed_files}
 
+    def remove_orphans(self, older_than_s: float = 3600.0) -> dict:
+        """Orphan cleanup (Iceberg remove_orphan_files analogue): delete
+        data files referenced by NO retained manifest, plus leftover
+        ``attempt-*`` manifests — the debris of crashes between data write
+        and commit, and of losing CAS racers. Only files older than
+        ``older_than_s`` seconds are touched, so an in-flight merge's
+        freshly written (not yet committed) files are never swept: at the
+        default one hour, any commit still racing would have to have been
+        writing for an hour. Never touches committed manifests or any file
+        a retained snapshot references."""
+        now = time.time()
+        live: set[str] = set()
+        v: int | None = self._current_version()
+        while v is not None:
+            try:
+                m = self._load_manifest(v)
+            except FileNotFoundError:
+                break
+            live.update(f for fl in m["files"].values() for f in fl)
+            v = m.get("parent_version")
+        removed = {"data_files": 0, "attempt_manifests": 0}
+        data_root = os.path.join(self.path, "data")
+        if os.path.isdir(data_root):
+            for commit_dir in os.listdir(data_root):
+                cd = os.path.join(data_root, commit_dir)
+                if not os.path.isdir(cd):
+                    continue
+                for bucket_dir in os.listdir(cd):
+                    bd = os.path.join(cd, bucket_dir)
+                    if not os.path.isdir(bd):
+                        continue
+                    for fn in os.listdir(bd):
+                        # checksum siblings (.part-N.crc on local FS) are
+                        # judged by the data file they belong to
+                        data_fn = fn[1:-4] if fn.startswith(".") and fn.endswith(".crc") else fn
+                        rel = os.path.join("data", commit_dir, bucket_dir, data_fn)
+                        p = os.path.join(bd, fn)
+                        if rel not in live and now - os.path.getmtime(p) > older_than_s:
+                            os.unlink(p)
+                            removed["data_files"] += 1
+                    if not os.listdir(bd):
+                        os.rmdir(bd)
+                if not os.listdir(cd):
+                    os.rmdir(cd)
+        man_dir = os.path.join(self.path, "manifests")
+        for fn in os.listdir(man_dir):
+            if fn.startswith("attempt-"):
+                p = os.path.join(man_dir, fn)
+                if now - os.path.getmtime(p) > older_than_s:
+                    os.unlink(p)
+                    removed["attempt_manifests"] += 1
+        return removed
+
     def committed_batch_ids(self) -> set[str]:
         return {
             s["summary"]["batch-id"]

@@ -481,3 +481,41 @@ def test_read_keys_pushes_in_filters_to_scan(spark, tmp_table_dir):
     assert "In(path" in plan or "EqualTo(path" in plan
     assert "In(repo" in plan or "EqualTo(repo" in plan
     assert out.count() == len(sample)
+
+
+def test_remove_orphans(spark, tmp_table_dir):
+    """Crash debris (uncommitted data files, attempt manifests) is swept;
+    live data, its checksum siblings, and committed manifests are not."""
+    import time as _time
+
+    tbl = _mk(spark, tmp_table_dir)
+    tbl.merge(batch_events(spark, CFG, 0), batch_id="b0")
+    before = _state_set(tbl.read())
+
+    # plant debris: a fake orphan data file + an attempt manifest
+    orphan_dir = os.path.join(tmp_table_dir, "data", "deadbeef", "_bucket=0")
+    os.makedirs(orphan_dir)
+    orphan = os.path.join(orphan_dir, "part-00000-orphan.parquet")
+    open(orphan, "wb").write(b"not parquet")
+    attempt = os.path.join(tmp_table_dir, "manifests", "attempt-cafe.json")
+    open(attempt, "w").write("{}")
+    old = _time.time() - 7200
+    os.utime(orphan, (old, old))
+    os.utime(attempt, (old, old))
+
+    # grace period: young debris is never swept (in-flight commits)
+    res0 = tbl.remove_orphans(older_than_s=10**6)
+    assert res0 == {"data_files": 0, "attempt_manifests": 0}
+
+    res = tbl.remove_orphans(older_than_s=3600)
+    assert res["data_files"] == 1 and res["attempt_manifests"] == 1
+    assert not os.path.exists(orphan) and not os.path.exists(attempt)
+
+    # live files (even hour-old ones) survive and the table still reads
+    for root, _, fns in os.walk(os.path.join(tmp_table_dir, "data")):
+        for fn in fns:
+            p = os.path.join(root, fn)
+            os.utime(p, (old, old))
+    res2 = tbl.remove_orphans(older_than_s=3600)
+    assert res2["data_files"] == 0
+    assert _state_set(tbl.read()) == before
