@@ -260,12 +260,37 @@ class _CpuSampler:
         }
 
 
+def _grant_probe(n_procs: int = 4, seconds: float = 2.0) -> float:
+    """Instantaneous host-grant index: sha256 hashes/sec over n_procs
+    processes. Cheap enough to bracket every lo/hi pair; the ABSOLUTE
+    value is meaningless, the RATIO between two probes tells whether the
+    hypervisor's grant moved between them."""
+    import multiprocessing as mp
+
+    with mp.Pool(n_procs) as p:
+        total = sum(p.map(_burn, [seconds] * n_procs))
+    return total / seconds
+
+
 def run_cdc_scaling(events_path: str, tmp: str) -> dict:
+    """Scaling measurement as VALIDATED lo/hi pairs.
+
+    The sandbox host's granted capacity can swing an order of magnitude
+    within one bench (observed: identical local[4] runs of 77s and 1247s
+    in the same window). A best-of-per-level scheme then pairs a lucky lo
+    run with an unlucky hi run and reports a physically impossible
+    "slowdown on 4x cores". Instead: each round runs lo then hi
+    back-to-back, BRACKETED by short grant probes. A pair is VALID iff
+    the grant drifted < ``_PAIR_DRIFT_MAX`` across it and its speedup is
+    physically sane (within (1/ratio, ratio*1.1)). The headline is the
+    MEDIAN valid pair — never the best — and an all-invalid window says
+    so explicitly rather than reporting noise as capability."""
     lo, hi = SCALE_LO, SCALE_HI
-    order = [c for _ in range(SCALE_RUNS) for c in (lo, hi)]  # interleaved
-    results: dict[int, dict] = {}
+    ratio = hi / lo
     runs_meta: list[dict] = []
-    for i, cores in enumerate(order):
+    pairs: list[dict] = []
+
+    def one_run(cores: int, i: int) -> dict:
         out = os.path.join(tmp, f"replay_{cores}_{i}.json")
         wh = os.path.join("/dev/shm" if os.path.isdir("/dev/shm") else tmp, f"spark_graft_wh_{cores}")
         with _CpuSampler() as sampler:
@@ -287,25 +312,46 @@ def run_cdc_scaling(events_path: str, tmp: str) -> dict:
             r = json.load(f)
         r["host"] = sampler.stats()
         runs_meta.append({"cores": cores, "wall_sec": r["wall_sec"], **r["host"]})
-        if cores not in results or r["wall_sec"] < results[cores]["wall_sec"]:
-            results[cores] = r
+        return r
+
+    for i in range(SCALE_RUNS):
+        g0 = _grant_probe()
+        r_lo = one_run(lo, 2 * i)
+        g_mid = _grant_probe()
+        r_hi = one_run(hi, 2 * i + 1)
+        g1 = _grant_probe()
+        grants = [g0, g_mid, g1]
+        drift = max(grants) / max(min(grants), 1.0)
+        speedup = r_hi["events_per_sec"] / r_lo["events_per_sec"]
+        sane = (1.0 / ratio) < speedup < ratio * 1.1
+        pairs.append({
+            "lo": r_lo,
+            "hi": r_hi,
+            "speedup": round(speedup, 3),
+            "grant_drift": round(drift, 2),
+            "valid": bool(drift <= _PAIR_DRIFT_MAX and sane),
+        })
+
+    valid = [p for p in pairs if p["valid"]]
+    pool = valid if valid else pairs  # all-invalid: still report, flagged
+    chosen = sorted(pool, key=lambda p: p["speedup"])[len(pool) // 2]
     cal = calibrate_host_scaling(lo, hi)
-    ratio = hi / lo
-    speedup = results[hi]["events_per_sec"] / results[lo]["events_per_sec"]
+
     def _phases(r: dict) -> dict:
         ph = r.get("batch_phase_ms") or []
         return {k: round(sum(p[k] for p in ph) / 1000, 2) for k in (ph[0] if ph else {})}
 
+    speedup = chosen["speedup"]
     out = {
-        "events": results[lo]["events"],
+        "events": chosen["lo"]["events"],
         "cores_lo": lo,
         "cores_hi": hi,
-        "lo_events_per_sec": results[lo]["events_per_sec"],
-        "hi_events_per_sec": results[hi]["events_per_sec"],
-        "lo_wall_sec": results[lo]["wall_sec"],
-        "hi_wall_sec": results[hi]["wall_sec"],
-        "lo_phase_sec": _phases(results[lo]),
-        "hi_phase_sec": _phases(results[hi]),
+        "lo_events_per_sec": chosen["lo"]["events_per_sec"],
+        "hi_events_per_sec": chosen["hi"]["events_per_sec"],
+        "lo_wall_sec": chosen["lo"]["wall_sec"],
+        "hi_wall_sec": chosen["hi"]["wall_sec"],
+        "lo_phase_sec": _phases(chosen["lo"]),
+        "hi_phase_sec": _phases(chosen["hi"]),
         "speedup_lo_to_hi": round(speedup, 3),
         "scaling_efficiency_raw": round(speedup / ratio, 3),
         "host_cpu_ceiling_speedup": cal["ceiling_speedup"],
@@ -313,9 +359,22 @@ def run_cdc_scaling(events_path: str, tmp: str) -> dict:
         "host_cpu_ceiling_efficiency": round(cal["ceiling_speedup"] / ratio, 3),
         "scaling_efficiency_vs_host_ceiling": round(speedup / cal["ceiling_speedup"], 3),
         "runs": runs_meta,
+        "pairs": [
+            {"speedup": p["speedup"], "grant_drift": p["grant_drift"], "valid": p["valid"],
+             "lo_wall_sec": p["lo"]["wall_sec"], "hi_wall_sec": p["hi"]["wall_sec"]}
+            for p in pairs
+        ],
+        "valid_pairs": len(valid),
+        "window_valid": bool(valid),
     }
     out["best"] = _update_scaling_history(out)
     return out
+
+
+# a lo/hi pair whose bracketing grant probes moved more than this factor
+# ran across a hypervisor grant change; its speedup compares two different
+# machines and is discarded
+_PAIR_DRIFT_MAX = 1.5
 
 
 def _update_scaling_history(cdc: dict) -> dict:
@@ -339,6 +398,7 @@ def _update_scaling_history(cdc: dict) -> dict:
         "lo_wall_sec": cdc["lo_wall_sec"],
         "hi_wall_sec": cdc["hi_wall_sec"],
         "host_cpu_ceiling_speedup": cdc["host_cpu_ceiling_speedup"],
+        "window_valid": cdc.get("window_valid", True),
     }
     with open(hist_path, "a") as f:
         f.write(json.dumps(entry) + "\n")
@@ -347,8 +407,14 @@ def _update_scaling_history(cdc: dict) -> dict:
     same_pair = [
         h for h in hist
         if h["cores_lo"] == cdc["cores_lo"] and h["cores_hi"] == cdc["cores_hi"]
+        # pre-validation entries carry no flag and stay in (they were
+        # best-of-level windows); explicitly invalid windows are recorded
+        # but never shape the medians
+        and h.get("window_valid", True)
     ]
     ratio = cdc["cores_hi"] / cdc["cores_lo"]
+    if not same_pair:
+        return {"n_runs_in_history": 0}
     speedups = sorted(
         h["hi_events_per_sec"] / h["lo_events_per_sec"] for h in same_pair
     )
@@ -393,12 +459,32 @@ def write_bench_md(times: dict[str, float], cdc: dict, buckets: dict | None = No
         "## North-rule scaling: CDC replay (binlog → lake upsert)",
         "",
         f"Same job, same input files, two parallelism levels (local[{cdc['cores_lo']}]",
-        f"vs local[{cdc['cores_hi']}] as the sandbox stand-in for N vs 4N executors),",
-        f"best of {SCALE_RUNS} interleaved fresh-JVM runs per level (the host is a",
-        "shared VM with hypervisor steal spikes — per-run steal%/idle% recorded",
-        "below; runs above the granted capacity measure the neighbors, not the",
-        "engine, which is why the pair sits inside the grant):",
+        f"vs local[{cdc['cores_hi']}] as the sandbox stand-in for N vs 4N executors).",
+        f"{SCALE_RUNS} back-to-back lo→hi pairs, each BRACKETED by short host-grant",
+        "probes (multiprocess sha256 throughput): a pair whose probes drifted",
+        f"> {_PAIR_DRIFT_MAX}× ran across a hypervisor grant change and compares two",
+        "different machines, so it is discarded, as is any physically insane",
+        "speedup (outside (1/ratio, ratio·1.1)). **The headline is the MEDIAN",
+        "VALID pair — never the best.** An all-invalid window is reported as a",
+        "failed measurement, not as capability or its absence:",
+        "",]
+    lines += [
+        "| pair | lo wall s | hi wall s | speedup | grant drift | valid |",
+        "|---|---|---|---|---|---|",
+    ] + [
+        f"| {i} | {p['lo_wall_sec']} | {p['hi_wall_sec']} | {p['speedup']} | {p['grant_drift']}× | {'yes' if p['valid'] else 'NO'} |"
+        for i, p in enumerate(cdc.get("pairs", []))
+    ] + [
         "",
+        f"Valid pairs: {cdc.get('valid_pairs', '?')}/{len(cdc.get('pairs', []))}."
+        + ("" if cdc.get("window_valid", True) else
+           " **ALL PAIRS INVALID — the host grant never held still for one"
+           " lo+hi pair; the numbers below are the median raw pair and say"
+           " nothing about the engine. See history context.**"),
+        "",
+        "Median-valid-pair runs:",
+        "",]
+    lines += [
         "| config | events | wall sec | events/sec |",
         "|---|---|---|---|",
         f"| local[{cdc['cores_lo']}] | {cdc['events']} | {cdc['lo_wall_sec']} | {cdc['lo_events_per_sec']} |",
@@ -443,7 +529,7 @@ def write_bench_md(times: dict[str, float], cdc: dict, buckets: dict | None = No
         for i, r in enumerate(cdc.get("runs", []))
     ]
     hist = cdc.get("best")
-    if hist:
+    if hist and hist.get("median_window_speedup") is not None:
         lines += [
             "",
             "### History context"
