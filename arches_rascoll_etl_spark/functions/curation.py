@@ -82,10 +82,12 @@ def pack_sequences(
     and ``seq_bin`` = how many full budgets precede the document's first
     token. Returns (shard, id, n_tokens, seq_bin).
 
-    A document longer than the budget occupies its bin alone (the bin
-    index still advances past it — downstream chunking splits it). The
-    formulation is one ordered-window running sum per shard: exact,
-    deterministic, and expressible in any SQL engine for oracle checking.
+    Semantics are concatenated-stream chunking: a document is assigned to
+    the bin containing its FIRST token (bin = floor(tokens_before/budget)),
+    so a document may share its bin with predecessors and may straddle into
+    later bins — downstream chunking splits stragglers. The formulation is
+    one ordered-window running sum per shard: exact, deterministic, and
+    expressible in any SQL engine for oracle checking.
     """
     n = TS.bpe_ish_token_count(_c(text_col))
     w = (

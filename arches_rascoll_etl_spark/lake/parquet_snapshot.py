@@ -324,16 +324,31 @@ class SnapshotTable(LakeTable):
                 os.rmdir(cd)
         return {"removed_snapshots": len(expire), "removed_files": removed_files}
 
-    def remove_orphans(self, older_than_s: float = 3600.0) -> dict:
+    # Iceberg's remove_orphan_files defaults to 3 days for the same reason:
+    # a legitimately slow in-flight write (big merge/rebucket) may spend a
+    # long time between first data file and CAS commit; sweeping its
+    # uncommitted files corrupts the snapshot the later commit references.
+    _ORPHAN_GRACE_FLOOR_S = 6 * 3600.0
+
+    def remove_orphans(
+        self, older_than_s: float = 72 * 3600.0, *, force: bool = False
+    ) -> dict:
         """Orphan cleanup (Iceberg remove_orphan_files analogue): delete
         data files referenced by NO retained manifest, plus leftover
         ``attempt-*`` manifests — the debris of crashes between data write
         and commit, and of losing CAS racers. Only files older than
         ``older_than_s`` seconds are touched, so an in-flight merge's
-        freshly written (not yet committed) files are never swept: at the
-        default one hour, any commit still racing would have to have been
-        writing for an hour. Never touches committed manifests or any file
-        a retained snapshot references."""
+        freshly written (not yet committed) files are never swept. The
+        default grace is 72 h (Iceberg's default); values below the 6 h
+        safety floor are refused unless ``force=True`` (tests use force)."""
+        if older_than_s < self._ORPHAN_GRACE_FLOOR_S and not force:
+            raise ValueError(
+                f"older_than_s={older_than_s:g}s is below the "
+                f"{self._ORPHAN_GRACE_FLOOR_S:g}s safety floor — a slow "
+                "in-flight merge's uncommitted files could be swept and the "
+                "later commit would reference deleted files; pass force=True "
+                "only if no write can possibly be in flight"
+            )
         now = time.time()
         live: set[str] = set()
         v: int | None = self._current_version()
@@ -459,8 +474,16 @@ class SnapshotTable(LakeTable):
         df = self._read_files(files, schema)
         if 0 < len(keys) <= self._PUSHDOWN_MAX_KEYS:
             for i, k in enumerate(self.key_cols):
-                vals = sorted({t[i] for t in keys})
-                df = df.where(_F.col(k).isin(vals))
+                # no sorted(): isin needs no ordering, and a None or
+                # mixed-type key value would make sorted() raise TypeError
+                # before the query even runs. None never matches isin, but
+                # such keys still resolve through the semi-join below.
+                vals = list({t[i] for t in keys if t[i] is not None})
+                has_null = any(t[i] is None for t in keys)
+                if vals and has_null:
+                    df = df.where(_F.col(k).isin(vals) | _F.col(k).isNull())
+                elif vals:
+                    df = df.where(_F.col(k).isin(vals))
         # semi-join against the key set (broadcast — the key list is small)
         out = df.join(_F.broadcast(key_df), on=self.key_cols, how="left_semi")
         return (

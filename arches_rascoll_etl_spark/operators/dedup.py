@@ -39,6 +39,14 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+# simhash SWAR vote lanes are 16 bits wide, but the accumulator is a SIGNED
+# long: once the TOP lane (bits 48-63) exceeds 0x7FFF the packed sum passes
+# 2^63-1 and Spark's ANSI mode raises ARITHMETIC_OVERFLOW (without ANSI it
+# would silently wrap into the sign bit). 32767 tokens keeps the worst-case
+# packed sum at 0x7FFF7FFF7FFF7FFF < Long.MAX (see simhash_table).
+_SWAR_MAX_TOKENS = 32767
+
+
 def _c(col: Column | str) -> Column:
     return F.col(col) if isinstance(col, str) else col
 
@@ -272,6 +280,14 @@ def simhash_table(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     exposes, and hashed tokens in an interpreted per-token loop)."""
     narrow = _spread(df.select(_c(id_col).alias("_id"), _c(text_col).alias("_t")))
     tok_arr = F.filter(F.split(F.trim(F.col("_t")), r"\s+"), lambda t: F.length(t) > 0)
+    # Hard-enforce the SWAR lane cap (signed-long accumulator ⇒ ≤32767
+    # votes/doc, see _SWAR_MAX_TOKENS): beyond it the packed sum overflows
+    # the long (ANSI error) or a lane's carry bleeds into the adjacent bit
+    # position's count (silent corruption). Truncating to the first 32767
+    # whitespace tokens keeps the fingerprint valid (simhash over a
+    # 32k-token prefix is still a faithful near-dup signal; real corpora
+    # sit far below the cap).
+    tok_arr = F.slice(tok_arr, 1, _SWAR_MAX_TOKENS)
     toks = narrow.select(
         "_id",
         # zero-weight sentinel: keeps empty docs in the aggregation
@@ -295,9 +311,9 @@ def simhash_table(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     # per-bit sums. Sum g accumulates, in four 16-bit lanes, the counts of
     # bits g, g+16, g+32, g+48 of _h — the per-TOKEN work drops from 64
     # shift/AND/±1 terms to 16 shift/AND terms; the 64 sign decisions move
-    # to the post-aggregation side (once per doc). Lane width caps docs at
-    # 65535 tokens (enforce upstream by chunking longer docs; whitespace
-    # tokens of real corpora sit far below).
+    # to the post-aggregation side (once per doc). The signed-long
+    # accumulator caps docs at 32767 tokens — enforced above via
+    # F.slice(tok_arr, 1, _SWAR_MAX_TOKENS).
     lane_mask = 0x0001000100010001
     aggs = [F.sum(F.col("_w")).alias("_n")] + [
         F.sum(

@@ -8,7 +8,10 @@ Oracle-matching rules used throughout (the driver hash-compares values):
 * no double→string casts (engine formatting differs);
 * regexes restricted to syntax common to Spark and DuckDB (`'g'` flag added
   on the DuckDB side where Spark replaces globally);
-* deterministic tie-breaks on every top-k / window.
+* deterministic tie-breaks on every top-k / window;
+* NO raw `binary` output columns — pandas' factorize in the driver's
+  canonicalizer cannot hash `bytearray`; ship bytes as `lower(hex(...))`
+  (and arrays as `to_json`) instead.
 """
 
 from __future__ import annotations
@@ -1041,18 +1044,24 @@ _ORACLES["q41_lsh_topk"] = f"""
 def q42(spark, sf):
     """Frame sampling over the mapInPandas one-to-many media plumbing.
     Frames are byte slices of the sha256-derived payload, so the oracle
-    re-derives them with unhex + hex-substring math."""
+    re-derives them with hex-substring math. Output rule (queries.py
+    header): no raw binary columns — the driver's canonicalizer can't
+    factorize bytearray — so the frame ships as lowercase hex."""
     d = _t(spark, sf, "documents")
     media = d.select(F.col("doc_id").alias("media_id"), _media_payload_col().alias("payload"))
-    return multimodal.sample_frames(media, every_n=4, max_frames=3)
+    out = multimodal.sample_frames(media, every_n=4, max_frames=3)
+    return out.select(
+        "media_id", "frame_idx", F.lower(F.hex("frame_payload")).alias("frame_hex")
+    )
 
 
 # 64-byte payload, every_n=4 → step 16 bytes, 3 frames of 16 bytes
-# (32 hex chars) each, starting at hex offsets 0/32/64.
+# (32 hex chars) each, starting at hex offsets 0/32/64. hx is already the
+# lowercase hex of the payload, so the frame is a plain substring of it.
 _ORACLES["q42_frame_sample"] = f"""
     WITH {_MEDIA_HX_CTE}
     SELECT media_id, f.frame_idx,
-           unhex(substr(hx, f.frame_idx * 32 + 1, 32)) AS frame_payload
+           substr(hx, f.frame_idx * 32 + 1, 32) AS frame_hex
     FROM h, (SELECT unnest([0, 1, 2]) AS frame_idx) f
     """
 
@@ -1312,7 +1321,8 @@ _ORACLES["q47_tile_data_expansion"] = """
       FROM events
     ),
     final AS (SELECT * FROM ranked WHERE rn = 1 AND op <> 'D')
-    SELECT event_type, COUNT(*) AS n_rows, SUM(event_id) AS sum_event_id
+    SELECT event_type, COUNT(*) AS n_rows,
+           CAST(SUM(event_id) AS BIGINT) AS sum_event_id
     FROM final GROUP BY event_type
     """,
 )
@@ -1490,7 +1500,11 @@ def q52(spark, sf):
     then answer a point lookup via read_keys, which prunes to the keys'
     buckets at the manifest level and pushes In filters into the parquet
     scan. The lake table lives in a per-call temp dir that outlives the
-    returned (lazy) DataFrame; the OS owns its cleanup."""
+    returned (lazy) DataFrame; an atexit hook removes it at interpreter
+    exit (safe — the driver consumes the DataFrame within the run), so
+    repeated bench/correctness runs don't accumulate /tmp debris."""
+    import atexit
+    import shutil
     import tempfile
 
     from .lake.parquet_snapshot import SnapshotTable
@@ -1503,6 +1517,7 @@ def q52(spark, sf):
         F.when(F.col("value") < 1, "D").otherwise("U").alias("op"),
     )
     d = tempfile.mkdtemp(prefix="q52_lake_")
+    atexit.register(shutil.rmtree, d, ignore_errors=True)
     tbl = SnapshotTable(
         spark, d, key_cols=("user_id", "event_type"),
         order_cols=("commit_seq",), n_buckets=16,

@@ -5,6 +5,7 @@ from __future__ import annotations
 import json
 import os
 
+import pytest
 from pyspark.sql import functions as F
 
 from arches_rascoll_etl_spark import oracle
@@ -507,7 +508,12 @@ def test_remove_orphans(spark, tmp_table_dir):
     res0 = tbl.remove_orphans(older_than_s=10**6)
     assert res0 == {"data_files": 0, "attempt_manifests": 0}
 
-    res = tbl.remove_orphans(older_than_s=3600)
+    # sub-floor grace is refused without force (ADVICE r2: a slow in-flight
+    # merge may legitimately spend >1h between first data file and commit)
+    with pytest.raises(ValueError, match="safety floor"):
+        tbl.remove_orphans(older_than_s=3600)
+
+    res = tbl.remove_orphans(older_than_s=3600, force=True)
     assert res["data_files"] == 1 and res["attempt_manifests"] == 1
     assert not os.path.exists(orphan) and not os.path.exists(attempt)
 
@@ -516,6 +522,6 @@ def test_remove_orphans(spark, tmp_table_dir):
         for fn in fns:
             p = os.path.join(root, fn)
             os.utime(p, (old, old))
-    res2 = tbl.remove_orphans(older_than_s=3600)
+    res2 = tbl.remove_orphans(older_than_s=3600, force=True)
     assert res2["data_files"] == 0
     assert _state_set(tbl.read()) == before

@@ -119,6 +119,21 @@ def test_simhash_matches_reference_and_finds_exact_dups(spark):
     assert (1, 2) in pairs and pairs[(1, 2)] == 0
 
 
+def test_simhash_swar_lane_cap_enforced(spark):
+    """Docs beyond the SWAR vote capacity (32767 tokens — the signed-long
+    accumulator's top lane limit) are truncated to the cap instead of
+    overflowing the sum (ANSI ARITHMETIC_OVERFLOW) or silently wrapping a
+    lane counter into the adjacent bit position (ADVICE r2): a 40k-token
+    doc fingerprints identically to its 32767-token prefix, and matches
+    the plain-Python reference."""
+    tok = "lorem"
+    over = " ".join([tok] * 40_000)
+    capped = " ".join([tok] * 32_767)
+    df = spark.createDataFrame([(1, over), (2, capped)], "id long, text string")
+    got = {r._id: r.simhash for r in dedup.simhash_table(df, "id", "text").collect()}
+    assert got[1] == got[2] == _simhash_ref(tok)  # all-same-token: sign(h) bits
+
+
 def test_rolling_hash_vectorized_matches_naive_and_is_faster():
     import time
 
