@@ -41,6 +41,12 @@ CDC_EVENTS = int(os.environ.get("SPARK_GRAFT_CDC_EVENTS", "8000000"))
 SCALE_LO = int(os.environ.get("SPARK_GRAFT_SCALE_LO", "4"))
 SCALE_HI = int(os.environ.get("SPARK_GRAFT_SCALE_HI", "16"))
 SCALE_RUNS = int(os.environ.get("SPARK_GRAFT_SCALE_RUNS", "3"))
+# hard per-replay-run subprocess timeout and whole-scaling-phase wall budget:
+# a degraded host must cost us accuracy, never the round's entire bench (the
+# r2 driver run was killed at ITS timeout mid-scaling and every number,
+# including the already-finished headline, was lost with it)
+RUN_TIMEOUT_S = float(os.environ.get("SPARK_GRAFT_RUN_TIMEOUT_S", "900"))
+SCALING_BUDGET_S = float(os.environ.get("SPARK_GRAFT_SCALING_BUDGET_S", "1800"))
 
 # fast local dirs for shuffle + bench tables (single-node disk is the first
 # artificial bottleneck when emulating a cluster in one box)
@@ -189,7 +195,7 @@ def run_headline() -> dict[str, float]:
     return times
 
 
-def gen_cdc_input(path: str) -> None:
+def gen_cdc_input(path: str, n_events: int = CDC_EVENTS) -> None:
     from pyspark.sql import functions as F
 
     from arches_rascoll_etl_spark.session import get_spark
@@ -198,7 +204,7 @@ def gen_cdc_input(path: str) -> None:
     spark = get_spark(app_name="bench-gen", cores=CPUS, shuffle_partitions=max(CPUS, 16))
     spark.sparkContext.setLogLevel("ERROR")
     cfg = ChangeLogConfig(
-        n_events=CDC_EVENTS,
+        n_events=n_events,
         n_repos=200,
         paths_per_repo=5000,
         hot_fraction=0.3,
@@ -272,7 +278,44 @@ def _grant_probe(n_procs: int = 4, seconds: float = 2.0) -> float:
     return total / seconds
 
 
-def run_cdc_scaling(events_path: str, tmp: str) -> dict:
+def _gate_cdc_events() -> tuple[int, dict]:
+    """Decide the CDC event count from the host's CURRENT grant.
+
+    Probes multiprocess sha256 throughput and compares it with the median
+    probe of past windows (BENCH/scaling_history.jsonl — entries carry
+    ``grant_probe_abs`` from this round on). On a collapsed host (< 0.3×
+    the historical median) a full 8M-event scaling phase measures nothing
+    except the driver's timeout, so the phase runs at 2M events instead and
+    says so in the output. With no probe history yet the full count runs."""
+    probe = _grant_probe()
+    hist_path = os.path.join(ROOT, "BENCH", "scaling_history.jsonl")
+    past: list[float] = []
+    if os.path.exists(hist_path):
+        with open(hist_path) as f:
+            for line in f:
+                if line.strip():
+                    v = json.loads(line).get("grant_probe_abs")
+                    if v:
+                        past.append(v)
+    info: dict = {"grant_probe_abs": round(probe, 1)}
+    events = CDC_EVENTS
+    if past:
+        med = sorted(past)[len(past) // 2]
+        rel = probe / med
+        info["grant_probe_history_median"] = round(med, 1)
+        info["grant_probe_vs_median"] = round(rel, 3)
+        if rel < 0.3:
+            events = min(CDC_EVENTS, 2_000_000)
+            info["events_scaled_down"] = True
+            info["events_scaled_down_reason"] = (
+                f"host grant probe at {rel:.2f}x the historical median — a "
+                "full-size scaling phase on a collapsed grant measures only "
+                "the driver timeout"
+            )
+    return events, info
+
+
+def run_cdc_scaling(events_path: str, tmp: str, on_pair=None, gate_info: dict | None = None) -> dict:
     """Scaling measurement as VALIDATED lo/hi pairs.
 
     The sandbox host's granted capacity can swing an order of magnitude
@@ -284,44 +327,75 @@ def run_cdc_scaling(events_path: str, tmp: str) -> dict:
     the grant drifted < ``_PAIR_DRIFT_MAX`` across it and its speedup is
     physically sane (within (1/ratio, ratio*1.1)). The headline is the
     MEDIAN valid pair — never the best — and an all-invalid window says
-    so explicitly rather than reporting noise as capability."""
+    so explicitly rather than reporting noise as capability.
+
+    Resilience (r2 postmortem — a driver timeout mid-scaling erased the
+    round's numbers): every replay subprocess carries a hard
+    ``RUN_TIMEOUT_S`` kill, the whole phase stops starting new pairs past
+    ``SCALING_BUDGET_S``, and ``on_pair`` (if given) is invoked after every
+    completed pair so the caller can flush partial results."""
     lo, hi = SCALE_LO, SCALE_HI
     ratio = hi / lo
     runs_meta: list[dict] = []
     pairs: list[dict] = []
+    phase_t0 = time.time()
+    skipped_pairs = 0
 
-    def one_run(cores: int, i: int) -> dict:
+    def one_run(cores: int, i: int) -> dict | None:
         out = os.path.join(tmp, f"replay_{cores}_{i}.json")
         wh = os.path.join("/dev/shm" if os.path.isdir("/dev/shm") else tmp, f"spark_graft_wh_{cores}")
-        with _CpuSampler() as sampler:
-            subprocess.run(
-                [
-                    sys.executable, "-m", "arches_rascoll_etl_spark.replay_bench",
-                    "--cores", str(cores),
-                    "--events", events_path,
-                    "--workdir", wh,
-                    "--out", out,
-                ],
-                cwd=ROOT,
-                check=True,
-                stdout=subprocess.DEVNULL,
-                stderr=subprocess.DEVNULL,
-            )
-        shutil.rmtree(wh, ignore_errors=True)
+        try:
+            with _CpuSampler() as sampler:
+                subprocess.run(
+                    [
+                        sys.executable, "-m", "arches_rascoll_etl_spark.replay_bench",
+                        "--cores", str(cores),
+                        "--events", events_path,
+                        "--workdir", wh,
+                        "--out", out,
+                    ],
+                    cwd=ROOT,
+                    check=True,
+                    timeout=RUN_TIMEOUT_S,
+                    stdout=subprocess.DEVNULL,
+                    stderr=subprocess.DEVNULL,
+                )
+        except (subprocess.TimeoutExpired, subprocess.CalledProcessError) as e:
+            runs_meta.append({
+                "cores": cores, "wall_sec": None,
+                "failed": type(e).__name__, **sampler_stats_safe(),
+            })
+            return None
+        finally:
+            shutil.rmtree(wh, ignore_errors=True)
         with open(out) as f:
             r = json.load(f)
         r["host"] = sampler.stats()
         runs_meta.append({"cores": cores, "wall_sec": r["wall_sec"], **r["host"]})
         return r
 
+    def sampler_stats_safe() -> dict:
+        return {"steal_pct_mean": None, "idle_pct_mean": None}
+
     for i in range(SCALE_RUNS):
+        if i > 0 and time.time() - phase_t0 > SCALING_BUDGET_S:
+            skipped_pairs = SCALE_RUNS - i
+            break
         g0 = _grant_probe()
         r_lo = one_run(lo, 2 * i)
         g_mid = _grant_probe()
-        r_hi = one_run(hi, 2 * i + 1)
+        r_hi = one_run(hi, 2 * i + 1) if r_lo is not None else None
         g1 = _grant_probe()
         grants = [g0, g_mid, g1]
         drift = max(grants) / max(min(grants), 1.0)
+        if r_lo is None or r_hi is None:
+            pairs.append({
+                "lo": r_lo, "hi": r_hi, "speedup": None,
+                "grant_drift": round(drift, 2), "valid": False, "failed": True,
+            })
+            if on_pair is not None:
+                on_pair(pairs)
+            continue
         speedup = r_hi["events_per_sec"] / r_lo["events_per_sec"]
         sane = (1.0 / ratio) < speedup < ratio * 1.1
         pairs.append({
@@ -331,9 +405,29 @@ def run_cdc_scaling(events_path: str, tmp: str) -> dict:
             "grant_drift": round(drift, 2),
             "valid": bool(drift <= _PAIR_DRIFT_MAX and sane),
         })
+        if on_pair is not None:
+            on_pair(pairs)
 
     valid = [p for p in pairs if p["valid"]]
-    pool = valid if valid else pairs  # all-invalid: still report, flagged
+    complete = [p for p in pairs if not p.get("failed")]
+    if not complete:
+        # every pair lost a run to timeout/crash: report the failed
+        # measurement explicitly instead of dying with no output at all
+        return {
+            "measurement_failed": True,
+            "cores_lo": lo,
+            "cores_hi": hi,
+            "runs": runs_meta,
+            "pairs": [
+                {"speedup": p["speedup"], "grant_drift": p["grant_drift"],
+                 "valid": p["valid"], "failed": True}
+                for p in pairs
+            ],
+            "skipped_pairs": skipped_pairs,
+            "valid_pairs": 0,
+            "window_valid": False,
+        }
+    pool = valid if valid else complete  # all-invalid: still report, flagged
     chosen = sorted(pool, key=lambda p: p["speedup"])[len(pool) // 2]
     cal = calibrate_host_scaling(lo, hi)
 
@@ -361,12 +455,16 @@ def run_cdc_scaling(events_path: str, tmp: str) -> dict:
         "runs": runs_meta,
         "pairs": [
             {"speedup": p["speedup"], "grant_drift": p["grant_drift"], "valid": p["valid"],
-             "lo_wall_sec": p["lo"]["wall_sec"], "hi_wall_sec": p["hi"]["wall_sec"]}
+             "failed": bool(p.get("failed")),
+             "lo_wall_sec": p["lo"]["wall_sec"] if p["lo"] else None,
+             "hi_wall_sec": p["hi"]["wall_sec"] if p["hi"] else None}
             for p in pairs
         ],
+        "skipped_pairs": skipped_pairs,
         "valid_pairs": len(valid),
         "window_valid": bool(valid),
     }
+    out.update(gate_info or {})
     out["best"] = _update_scaling_history(out)
     return out
 
@@ -399,6 +497,7 @@ def _update_scaling_history(cdc: dict) -> dict:
         "hi_wall_sec": cdc["hi_wall_sec"],
         "host_cpu_ceiling_speedup": cdc["host_cpu_ceiling_speedup"],
         "window_valid": cdc.get("window_valid", True),
+        "grant_probe_abs": cdc.get("grant_probe_abs"),
     }
     with open(hist_path, "a") as f:
         f.write(json.dumps(entry) + "\n")
@@ -407,6 +506,9 @@ def _update_scaling_history(cdc: dict) -> dict:
     same_pair = [
         h for h in hist
         if h["cores_lo"] == cdc["cores_lo"] and h["cores_hi"] == cdc["cores_hi"]
+        # only windows of the same workload size: a scaled-down or smoke
+        # window's absolute throughput would poison the medians
+        and h["events"] == cdc["events"]
         # pre-validation entries carry no flag and stay in (they were
         # best-of-level windows); explicitly invalid windows are recorded
         # but never shape the medians
@@ -440,6 +542,9 @@ def _update_scaling_history(cdc: dict) -> dict:
 
 def write_bench_md(times: dict[str, float], cdc: dict, buckets: dict | None = None) -> None:
     os.makedirs(os.path.join(ROOT, "BENCH"), exist_ok=True)
+    if cdc.get("measurement_failed"):
+        _write_bench_md_failed(times, cdc, buckets)
+        return
     lines = [
         "# BENCH baseline — arches_rascoll_etl_spark",
         "",
@@ -477,6 +582,12 @@ def write_bench_md(times: dict[str, float], cdc: dict, buckets: dict | None = No
     ] + [
         "",
         f"Valid pairs: {cdc.get('valid_pairs', '?')}/{len(cdc.get('pairs', []))}."
+        + (f" ({cdc['skipped_pairs']} pair(s) not started: scaling-phase"
+           f" wall budget {SCALING_BUDGET_S:g}s exhausted.)"
+           if cdc.get("skipped_pairs") else "")
+        + (f" (CDC events scaled down to {cdc['events']}:"
+           f" {cdc.get('events_scaled_down_reason', 'degraded host grant')}.)"
+           if cdc.get("events_scaled_down") else "")
         + ("" if cdc.get("window_valid", True) else
            " **ALL PAIRS INVALID — the host grant never held still for one"
            " lo+hi pair; the numbers below are the median raw pair and say"
@@ -582,32 +693,99 @@ def write_bench_md(times: dict[str, float], cdc: dict, buckets: dict | None = No
         f.write("\n".join(lines))
 
 
+def _write_bench_md_failed(times: dict[str, float], cdc: dict, buckets: dict | None) -> None:
+    """Minimal BASELINE.md for a window in which every scaling pair lost a
+    run to timeout/crash: headline + bucket numbers still land; the scaling
+    section reports a failed measurement rather than pretending."""
+    lines = [
+        "# BENCH baseline — arches_rascoll_etl_spark",
+        "",
+        f"## Headline queries (sf_dir={SF_DIR}, local[{CPUS}], noop sink)",
+        "",
+        "| query | sec |",
+        "|---|---|",
+    ]
+    lines += [f"| {k} | {v} |" for k, v in times.items()]
+    lines += [
+        "",
+        "## North-rule scaling: CDC replay — **MEASUREMENT FAILED**",
+        "",
+        f"Every lo/hi pair at local[{cdc['cores_lo']}]→local[{cdc['cores_hi']}]"
+        f" lost a run to the per-run {RUN_TIMEOUT_S:g}s timeout or a crash"
+        " (see runs below); the window produced NO scaling number. This says"
+        " the HOST was unusable during the window, not that the engine fails"
+        " to scale — see BENCH/scaling_history.jsonl for windows that did"
+        " measure.",
+        "",
+        "| run | cores | wall sec | failed |",
+        "|---|---|---|---|",
+    ]
+    lines += [
+        f"| {i} | {r['cores']} | {r['wall_sec']} | {r.get('failed', '')} |"
+        for i, r in enumerate(cdc.get("runs", []))
+    ]
+    lines += [""]
+    with open(os.path.join(ROOT, "BENCH", "BASELINE.md"), "w") as f:
+        f.write("\n".join(lines))
+
+
 def main() -> None:
+    """Each phase prints a full, parseable JSON line as soon as its numbers
+    exist (``"partial": true`` until the last), so an external timeout that
+    kills the process mid-scaling still leaves every completed phase's
+    numbers on stdout — the r2 driver run was killed mid-scaling and the
+    already-finished headline was lost because bench printed only at the
+    very end."""
+    result: dict = {
+        "metric": "headline_total_plus_cdc_scaling",
+        "value": None,
+        "unit": "sec",
+        "queries": {},
+        "sf": _sf_label(SF_DIR),
+        "partial": True,
+    }
+
+    def emit() -> None:
+        print(json.dumps(result), flush=True)
+
     times = run_headline()
+    result["queries"] = times
+    result["value"] = round(sum(times.values()), 3)
+    emit()
+
     buckets = run_bucket_scaling()
+    result["bucket_scaling"] = buckets
+    emit()
+
+    cdc_events, gate = _gate_cdc_events()
+    result["cdc_events"] = cdc_events
+    result.update({k: v for k, v in gate.items() if k.startswith(("grant_", "events_"))})
+    emit()
+
+    def on_pair(pairs: list[dict]) -> None:
+        result["cdc_scaling_partial"] = {
+            "pairs_done": len(pairs),
+            "pairs": [
+                {"speedup": p["speedup"], "grant_drift": p["grant_drift"],
+                 "valid": p["valid"], "failed": bool(p.get("failed"))}
+                for p in pairs
+            ],
+        }
+        emit()
 
     tmp = tempfile.mkdtemp(prefix="cdc_bench_")
     try:
         events_path = os.path.join(tmp, "events")
-        gen_cdc_input(events_path)
-        cdc = run_cdc_scaling(events_path, tmp)
+        gen_cdc_input(events_path, cdc_events)
+        cdc = run_cdc_scaling(events_path, tmp, on_pair=on_pair, gate_info=gate)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 
     write_bench_md(times, cdc, buckets)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_total_plus_cdc_scaling",
-                "value": round(sum(times.values()), 3),
-                "unit": "sec",
-                "queries": times,
-                "sf": _sf_label(SF_DIR),
-                "cdc_scaling": cdc,
-                "bucket_scaling": buckets,
-            }
-        )
-    )
+    result.pop("cdc_scaling_partial", None)
+    result["cdc_scaling"] = cdc
+    result["partial"] = False
+    emit()
 
 
 if __name__ == "__main__":
