@@ -1,9 +1,11 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-``entry`` runs the flagship CDC LWW replay on sf0.001; ``queries`` /
-``oracle_sql`` expose every implemented operator from SURVEY.md §2 (see the
-§8 coverage map) plus the training-data-pipeline operators: 52 queries, ALL
-52 with DuckDB-exact oracles (several generated programmatically from the
+``entry`` runs the flagship lake lifecycle on sf0.001 — CDC replay through
+SnapshotTable (merge → CAS commit → point lookup via manifest-pruned
+read_keys), the engine's actual core; ``queries`` / ``oracle_sql`` expose
+every implemented operator from SURVEY.md §2 (see the §8 coverage map) plus
+the training-data-pipeline operators: 53 queries, ALL 53 with DuckDB-exact
+oracles (several generated programmatically from the
 same constants the operators use — minhash affine permutations, simhash bit
 votes, LSH plane literals, media byte math, list_reduce Horner fold). q44
 runs the full IVF machinery (driver k-means quantizer, Arrow-batched cell
@@ -26,9 +28,12 @@ from arches_rascoll_etl_spark import queries as Q  # noqa: E402
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001: CDC change-log replay to
-    final state via the engine's LWW merge (driver checks rows > 0)."""
-    return Q.all_queries()["q21_cdc_lww_replay"](spark, "/root/testdata/sf0.001")
+    """Flagship on /root/testdata/sf0.001: the END-TO-END lake lifecycle —
+    replay the CDC log into a bucketed copy-on-write SnapshotTable in two
+    merges (each a fused scan→LWW→bucketed write with a CAS manifest
+    commit), then answer a point lookup through read_keys' manifest-level
+    bucket pruning + In-filter pushdown (driver checks rows > 0)."""
+    return Q.all_queries()["q52_lake_point_lookup"](spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

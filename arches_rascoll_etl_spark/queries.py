@@ -1526,3 +1526,59 @@ def q52(spark, sf):
     tbl.merge(ev.where(F.pmod("commit_seq", F.lit(2)) == 1), batch_id="odd")
     out = tbl.read_keys(_Q52_KEYS)
     return out.select("user_id", "event_type", "content", "commit_seq")
+
+
+@query(
+    "q53_lake_schema_evolution",
+    """
+    SELECT user_id, event_type, content, commit_seq, props_len FROM (
+      SELECT user_id, event_type, value AS content, event_id AS commit_seq,
+             CASE WHEN value < 1 THEN 'D' ELSE 'U' END AS op,
+             CASE WHEN event_id % 2 = 1 THEN CAST(length(props) AS BIGINT) END AS props_len,
+             ROW_NUMBER() OVER (PARTITION BY user_id, event_type ORDER BY event_id DESC) AS rn
+      FROM events
+    ) WHERE rn = 1 AND op <> 'D'
+    """,
+)
+def q53(spark, sf):
+    """Schema evolution mid-replay, end-to-end through the lake
+    (lake/parquet_snapshot.py `_merge_schemas`): batch 1 (even commit_seq)
+    carries the base schema; batch 2 (odd commit_seq) arrives with a NEW
+    ``props_len`` column — the Arches 'new graph field appears mid-stream'
+    case (reference resource model grows fields over time;
+    /root/reference/arches_rascoll/ref_collection.py builds such mappings
+    statically). The second merge widens the table schema; rows whose LWW
+    winner predates the column read back NULL. The oracle derives the same
+    final state from a window over the raw log, minting props_len only for
+    odd (batch-2) events."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from .lake.parquet_snapshot import SnapshotTable
+
+    base = _t(spark, sf, "events")
+    ev = base.select(
+        F.col("user_id"),
+        F.col("event_type"),
+        F.col("value").alias("content"),
+        F.col("event_id").alias("commit_seq"),
+        F.when(F.col("value") < 1, "D").otherwise("U").alias("op"),
+    )
+    evolved = base.select(
+        F.col("user_id"),
+        F.col("event_type"),
+        F.col("value").alias("content"),
+        F.col("event_id").alias("commit_seq"),
+        F.when(F.col("value") < 1, "D").otherwise("U").alias("op"),
+        F.length("props").cast("long").alias("props_len"),
+    )
+    d = tempfile.mkdtemp(prefix="q53_lake_")
+    atexit.register(shutil.rmtree, d, ignore_errors=True)
+    tbl = SnapshotTable(
+        spark, d, key_cols=("user_id", "event_type"),
+        order_cols=("commit_seq",), n_buckets=16,
+    )
+    tbl.merge(ev.where(F.pmod("commit_seq", F.lit(2)) == 0), batch_id="base-schema")
+    tbl.merge(evolved.where(F.pmod("commit_seq", F.lit(2)) == 1), batch_id="evolved-schema")
+    return tbl.read().select("user_id", "event_type", "content", "commit_seq", "props_len")

@@ -77,7 +77,8 @@ def test_query_matches_oracle(spark, ddb, name):
 
 
 def test_entry_smoke(spark):
+    # entry() is the q52 lake lifecycle (merge -> CAS commit -> read_keys)
     df = entry_mod.entry(spark)
     rows = df.collect()
     assert len(rows) > 0
-    assert df.columns == ["user_id", "event_type", "content", "ts", "commit_seq"]
+    assert df.columns == ["user_id", "event_type", "content", "commit_seq"]
