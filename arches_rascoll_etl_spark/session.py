@@ -43,8 +43,15 @@ def get_spark(
         builder = builder.config("spark.local.dir", local_dir)
     from pyspark import SparkConf
 
-    if SparkConf().get("spark.master", None) is None:
-        # not launched via spark-submit --master; run local
+    # Under spark-submit the driver's gateway JVM is pre-launched with the
+    # submitted conf (PYSPARK_GATEWAY_PORT set) — but Spark 4's
+    # SparkConf() no longer surfaces spark.master from it, so the old
+    # conf-only check read None and OVERRODE a submitted cluster master
+    # with local[k] (the app then silently ran local while a standalone
+    # cluster sat idle). Only set a local master when neither signal says
+    # a master was already provided.
+    submitted = "PYSPARK_GATEWAY_PORT" in os.environ
+    if not submitted and SparkConf().get("spark.master", None) is None:
         builder = builder.master(f"local[{cores}]")
     if extra_conf:
         for k, v in extra_conf.items():

@@ -47,6 +47,10 @@ SCALE_RUNS = int(os.environ.get("SPARK_GRAFT_SCALE_RUNS", "3"))
 # including the already-finished headline, was lost with it)
 RUN_TIMEOUT_S = float(os.environ.get("SPARK_GRAFT_RUN_TIMEOUT_S", "900"))
 SCALING_BUDGET_S = float(os.environ.get("SPARK_GRAFT_SCALING_BUDGET_S", "1800"))
+# real standalone-cluster pair (1 executor vs 4 executor JVMs) after the
+# local[k] phase; "0" disables
+STANDALONE = os.environ.get("SPARK_GRAFT_STANDALONE", "1") != "0"
+STANDALONE_CORES_PER_WORKER = int(os.environ.get("SPARK_GRAFT_STANDALONE_CPW", "4"))
 
 # fast local dirs for shuffle + bench tables (single-node disk is the first
 # artificial bottleneck when emulating a cluster in one box)
@@ -540,7 +544,41 @@ def _update_scaling_history(cdc: dict) -> dict:
     }
 
 
-def write_bench_md(times: dict[str, float], cdc: dict, buckets: dict | None = None) -> None:
+def _standalone_md(sa: dict | None) -> list[str]:
+    if not sa:
+        return []
+    lines = [
+        "",
+        "## Standalone-cluster pair (separate executor JVMs, spark-submit --py-files)",
+        "",
+        "local[k] threads share one JVM; this pair runs the SAME replay on a",
+        "real standalone master with 1 worker vs 4 workers"
+        f" ({sa.get('cores_per_worker', '?')} cores each) — one executor JVM per",
+        "worker, so the 4-executor level pays true inter-executor shuffle",
+        "serialization. Same validity rule as the local[k] pairs.",
+        "",
+    ]
+    if sa.get("failed"):
+        lines += [f"**FAILED**: {sa['failed']} — no standalone number this window.", ""]
+        return lines
+    lines += [
+        "| level | executors | events | wall sec | events/sec |",
+        "|---|---|---|---|---|",
+        f"| lo | 1×{sa['cores_per_worker']}c | {sa['events']} | {sa['lo_wall_sec']} | {sa['lo_events_per_sec']} |",
+        f"| hi | 4×{sa['cores_per_worker']}c | {sa['events']} | {sa['hi_wall_sec']} | {sa['hi_events_per_sec']} |",
+        "",
+        f"* speedup 1→4 executors: **{sa['speedup_lo_to_hi']}×**, raw efficiency"
+        f" **{sa['scaling_efficiency_raw']}**; grant drift {sa['grant_drift']}×,"
+        f" {'VALID' if sa.get('valid') else 'INVALID (grant moved or insane speedup)'}.",
+        "* Both levels still share this one box's DRAM/cache grant — on a real",
+        "  N→4N-node cluster memory bandwidth multiplies with nodes, so this",
+        "  single-box figure lower-bounds true cluster scaling (see ceilings above).",
+    ]
+    return lines
+
+
+def write_bench_md(times: dict[str, float], cdc: dict, buckets: dict | None = None,
+                   standalone: dict | None = None) -> None:
     os.makedirs(os.path.join(ROOT, "BENCH"), exist_ok=True)
     if cdc.get("measurement_failed"):
         _write_bench_md_failed(times, cdc, buckets)
@@ -688,6 +726,7 @@ def write_bench_md(times: dict[str, float], cdc: dict, buckets: dict | None = No
             "its touched buckets' files (manifest-level pruning), which is what",
             "bounds merge cost at 100 TB / 4096 buckets.",
         ]
+    lines += _standalone_md(standalone)
     lines += [""]
     with open(os.path.join(ROOT, "BENCH", "BASELINE.md"), "w") as f:
         f.write("\n".join(lines))
@@ -773,17 +812,37 @@ def main() -> None:
         }
         emit()
 
+    standalone = None
     tmp = tempfile.mkdtemp(prefix="cdc_bench_")
     try:
         events_path = os.path.join(tmp, "events")
         gen_cdc_input(events_path, cdc_events)
         cdc = run_cdc_scaling(events_path, tmp, on_pair=on_pair, gate_info=gate)
+        result.pop("cdc_scaling_partial", None)
+        result["cdc_scaling"] = cdc
+        emit()
+        if STANDALONE:
+            # real-cluster-shaped evidence: 1 vs 4 executor JVMs under a
+            # standalone master, same input files (north rule: N vs 4N
+            # executors via spark-submit --py-files). Own try so a cluster
+            # failure can't erase the local[k] numbers above.
+            try:
+                sys.path.insert(0, os.path.join(ROOT, "tools"))
+                from standalone_cluster import run_standalone_scaling
+
+                standalone = run_standalone_scaling(
+                    events_path, tmp,
+                    cores_per_worker=STANDALONE_CORES_PER_WORKER,
+                    run_timeout_s=RUN_TIMEOUT_S,
+                )
+            except Exception as e:  # noqa: BLE001 — report, never die
+                standalone = {"mode": "standalone", "failed": repr(e)[:300]}
+            result["standalone_scaling"] = standalone
+            emit()
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 
-    write_bench_md(times, cdc, buckets)
-    result.pop("cdc_scaling_partial", None)
-    result["cdc_scaling"] = cdc
+    write_bench_md(times, cdc, buckets, standalone)
     result["partial"] = False
     emit()
 

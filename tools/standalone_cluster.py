@@ -1,0 +1,244 @@
+"""Spark STANDALONE-cluster scaling evidence for the north rule.
+
+local[k] runs executors as threads in one JVM — no serialization between
+executors, no scheduler RPC, shared codegen caches — so its N→4N ratio can
+flatter or understate a real cluster. This harness launches a real
+standalone master plus separate worker JVMs on this box and runs the SAME
+CDC replay via ``spark-submit --master spark://… --py-files engine.zip``,
+the exact deployment shape the north rule prescribes:
+
+* lo level: 1 worker × C cores → 1 executor  (N executors)
+* hi level: 4 workers × C cores → 4 executors (4N executors)
+
+Each executor is its own JVM with its own shuffle client, so the hi level
+pays real inter-executor shuffle serialization. Both levels read identical
+input files; runs are bracketed by host-grant probes exactly like the
+local[k] pairs in bench.py (same validity rule).
+
+Usage:
+    python tools/standalone_cluster.py --events <parquet_dir> \
+        --workdir <dir> --out <result.json> [--cores-per-worker 4]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import socket
+import subprocess
+import sys
+import tempfile
+import time
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+SPARK_HOME = os.environ.get("SPARK_HOME", "/opt/spark")
+SPARK_CLASS = os.path.join(SPARK_HOME, "bin", "spark-class")
+SPARK_SUBMIT = os.path.join(SPARK_HOME, "bin", "spark-submit")
+
+
+def _free_port() -> int:
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        return s.getsockname()[1]
+
+
+def _wait_port(port: int, timeout_s: float = 60.0) -> None:
+    t0 = time.time()
+    while time.time() - t0 < timeout_s:
+        try:
+            with socket.create_connection(("127.0.0.1", port), timeout=1):
+                return
+        except OSError:
+            time.sleep(0.5)
+    raise TimeoutError(f"port {port} never opened")
+
+
+def _zip_engine() -> str:
+    zpath = tempfile.mktemp(prefix="engine_", suffix=".zip")
+    subprocess.run(
+        ["zip", "-qr", zpath, "arches_rascoll_etl_spark", "-x", "*__pycache__*"],
+        cwd=ROOT, check=True,
+    )
+    return zpath
+
+
+class StandaloneCluster:
+    """Context manager: one master + ``n_workers`` worker JVMs, all killed
+    (process-group) on exit."""
+
+    def __init__(self, n_workers: int, cores_per_worker: int, work_root: str,
+                 worker_mem: str = "8g"):
+        self.n_workers = n_workers
+        self.cores = cores_per_worker
+        self.work_root = work_root
+        self.worker_mem = worker_mem
+        self.port = _free_port()
+        self.master_url = f"spark://127.0.0.1:{self.port}"
+        self._procs: list[subprocess.Popen] = []
+
+    def _spawn(self, args: list[str], log: str) -> subprocess.Popen:
+        env = dict(os.environ, SPARK_HOME=SPARK_HOME,
+                   SPARK_LOG_DIR=self.work_root,
+                   SPARK_NO_DAEMONIZE="1")
+        with open(log, "w") as f:
+            return subprocess.Popen(
+                args, stdout=f, stderr=subprocess.STDOUT,
+                start_new_session=True, env=env,
+            )
+
+    def __enter__(self):
+        os.makedirs(self.work_root, exist_ok=True)
+        self._procs.append(self._spawn(
+            [SPARK_CLASS, "org.apache.spark.deploy.master.Master",
+             "--host", "127.0.0.1", "--port", str(self.port),
+             "--webui-port", "0"],
+            os.path.join(self.work_root, "master.log"),
+        ))
+        _wait_port(self.port)
+        for i in range(self.n_workers):
+            wd = os.path.join(self.work_root, f"worker{i}")
+            os.makedirs(wd, exist_ok=True)
+            self._procs.append(self._spawn(
+                [SPARK_CLASS, "org.apache.spark.deploy.worker.Worker",
+                 self.master_url, "--cores", str(self.cores),
+                 "--memory", self.worker_mem, "--webui-port", "0",
+                 "--work-dir", wd],
+                os.path.join(self.work_root, f"worker{i}.log"),
+            ))
+        self._wait_workers_registered()
+        return self
+
+    def _wait_workers_registered(self, timeout_s: float = 90.0) -> None:
+        """Block until the master has registered every worker (worker JVM
+        startup takes a few seconds; submitting earlier would run the app
+        with fewer executors than the level claims)."""
+        log = os.path.join(self.work_root, "master.log")
+        t0 = time.time()
+        while time.time() - t0 < timeout_s:
+            try:
+                with open(log) as f:
+                    if f.read().count("Registering worker") >= self.n_workers:
+                        return
+            except FileNotFoundError:
+                pass
+            time.sleep(0.5)
+        raise TimeoutError(
+            f"only some of {self.n_workers} workers registered in {timeout_s}s"
+        )
+
+    def __exit__(self, *exc):
+        import signal
+
+        for p in reversed(self._procs):
+            try:
+                os.killpg(os.getpgid(p.pid), signal.SIGTERM)
+            except (ProcessLookupError, PermissionError):
+                pass
+        deadline = time.time() + 10
+        for p in self._procs:
+            try:
+                p.wait(timeout=max(0.1, deadline - time.time()))
+            except subprocess.TimeoutExpired:
+                try:
+                    os.killpg(os.getpgid(p.pid), signal.SIGKILL)
+                except (ProcessLookupError, PermissionError):
+                    pass
+
+    def submit_replay(self, zip_path: str, events: str, workdir: str,
+                      out: str, total_cores: int, timeout_s: float = 900.0) -> dict:
+        env = dict(os.environ,
+                   PYSPARK_PYTHON=sys.executable,
+                   PYSPARK_DRIVER_PYTHON=sys.executable)
+        subprocess.run(
+            [SPARK_SUBMIT,
+             "--master", self.master_url,
+             "--py-files", zip_path,
+             "--conf", "spark.executor.memory=6g",
+             "--conf", "spark.driver.memory=8g",
+             "--conf", f"spark.cores.max={total_cores}",
+             "--conf", "spark.ui.enabled=false",
+             os.path.join(ROOT, "tools", "replay_submit_main.py"),
+             "--cores", str(total_cores),
+             "--events", events,
+             "--workdir", workdir,
+             "--out", out],
+            cwd=ROOT, check=True, timeout=timeout_s, env=env,
+            stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
+        )
+        with open(out) as f:
+            return json.load(f)
+
+
+def run_standalone_scaling(events: str, workdir: str,
+                           cores_per_worker: int = 4,
+                           run_timeout_s: float = 900.0) -> dict:
+    """One validated lo/hi pair on a real standalone cluster:
+    1 executor × C cores vs 4 executors × C cores, grant-probe-bracketed
+    (same validity rule as bench.py's local[k] pairs)."""
+    sys.path.insert(0, ROOT)
+    from bench import _PAIR_DRIFT_MAX, _grant_probe  # noqa: E402
+
+    zip_path = _zip_engine()
+    result: dict = {
+        "mode": "standalone",
+        "cores_per_worker": cores_per_worker,
+        "executors_lo": 1,
+        "executors_hi": 4,
+    }
+    try:
+        grants = [_grant_probe()]
+        levels = {}
+        for label, n_workers in (("lo", 1), ("hi", 4)):
+            croot = os.path.join(workdir, f"cluster_{label}")
+            tbl_dir = os.path.join(workdir, f"tbl_{label}")
+            out_json = os.path.join(workdir, f"replay_{label}.json")
+            try:
+                with StandaloneCluster(n_workers, cores_per_worker, croot) as c:
+                    levels[label] = c.submit_replay(
+                        zip_path, events, tbl_dir, out_json,
+                        total_cores=n_workers * cores_per_worker,
+                        timeout_s=run_timeout_s,
+                    )
+            except (subprocess.TimeoutExpired, subprocess.CalledProcessError,
+                    TimeoutError) as e:
+                result["failed"] = f"{label}: {type(e).__name__}"
+                return result
+            finally:
+                shutil.rmtree(tbl_dir, ignore_errors=True)
+            grants.append(_grant_probe())
+        lo, hi = levels["lo"], levels["hi"]
+        drift = max(grants) / max(min(grants), 1.0)
+        speedup = hi["events_per_sec"] / lo["events_per_sec"]
+        result.update({
+            "events": lo["events"],
+            "lo_events_per_sec": lo["events_per_sec"],
+            "hi_events_per_sec": hi["events_per_sec"],
+            "lo_wall_sec": lo["wall_sec"],
+            "hi_wall_sec": hi["wall_sec"],
+            "speedup_lo_to_hi": round(speedup, 3),
+            "scaling_efficiency_raw": round(speedup / 4, 3),
+            "grant_drift": round(drift, 2),
+            "valid": bool(drift <= _PAIR_DRIFT_MAX and 0.25 < speedup < 4.4),
+        })
+        return result
+    finally:
+        os.unlink(zip_path)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--events", required=True)
+    ap.add_argument("--workdir", required=True)
+    ap.add_argument("--out", required=True)
+    ap.add_argument("--cores-per-worker", type=int, default=4)
+    args = ap.parse_args()
+    res = run_standalone_scaling(args.events, args.workdir, args.cores_per_worker)
+    with open(args.out, "w") as f:
+        json.dump(res, f, indent=2)
+    print(json.dumps(res))
+
+
+if __name__ == "__main__":
+    main()
