@@ -72,6 +72,28 @@ def _burn(seconds: float) -> int:
     return n
 
 
+def _burn_touch(seconds: float) -> int:
+    """Bytes/sec of FIRST-TOUCH writes to fresh anonymous mmap pages.
+
+    Round-3 finding: this sandbox's hypervisor can degrade the fresh-page
+    write path ~100× (observed: a 400 MB numpy allocation+store taking 28 s)
+    while SHA-NI hashing stays at full speed — so a sha256-only probe reads
+    "healthy" on a host where an allocation-heavy JVM runs 15× slow. One
+    byte per 4 KiB page exercises exactly the page-allocation path."""
+    import mmap
+
+    size = 16 * 1024 * 1024
+    t = time.time()
+    touched = 0
+    while time.time() - t < seconds:
+        m = mmap.mmap(-1, size)
+        for off in range(0, size, 4096):
+            m[off] = 1
+            touched += 4096
+        m.close()
+    return touched
+
+
 def _burn_bw(seconds: float) -> int:
     import numpy as np
 
@@ -270,16 +292,35 @@ class _CpuSampler:
         }
 
 
-def _grant_probe(n_procs: int = 4, seconds: float = 2.0) -> float:
-    """Instantaneous host-grant index: sha256 hashes/sec over n_procs
-    processes. Cheap enough to bracket every lo/hi pair; the ABSOLUTE
-    value is meaningless, the RATIO between two probes tells whether the
-    hypervisor's grant moved between them."""
+def _grant_probe(n_procs: int = 4, seconds: float = 2.0) -> dict:
+    """Instantaneous host-grant index along TWO independent axes:
+
+    * ``sha``      — sha256 hashes/sec over n_procs procs (core arithmetic)
+    * ``memtouch`` — fresh-page first-touch bytes/sec (page allocation)
+
+    The hypervisor degrades these *independently* (observed: memtouch down
+    ~100× with sha untouched, and vice-versa lesser swings), and Spark's
+    allocation-heavy JVM tracks the WORST of them. The absolute values are
+    meaningless; ratios between probes of the same component tell whether
+    the grant moved between them (see ``_probe_drift``)."""
     import multiprocessing as mp
 
     with mp.Pool(n_procs) as p:
-        total = sum(p.map(_burn, [seconds] * n_procs))
-    return total / seconds
+        sha = sum(p.map(_burn, [seconds] * n_procs))
+        touch = sum(p.map(_burn_touch, [seconds] * n_procs))
+    return {"sha": sha / seconds, "memtouch": touch / seconds}
+
+
+def _probe_drift(probes: list[dict]) -> float:
+    """Worst per-component max/min ratio across a list of grant probes —
+    the pair-validity drift: if EITHER capacity axis moved, the bracketed
+    lo/hi runs executed on effectively different machines."""
+    drift = 1.0
+    for k in ("sha", "memtouch"):
+        vals = [p[k] for p in probes if isinstance(p, dict) and p.get(k)]
+        if len(vals) >= 2:
+            drift = max(drift, max(vals) / max(min(vals), 1.0))
+    return drift
 
 
 def _gate_cdc_events() -> tuple[int, dict]:
@@ -293,20 +334,35 @@ def _gate_cdc_events() -> tuple[int, dict]:
     says so in the output. With no probe history yet the full count runs."""
     probe = _grant_probe()
     hist_path = os.path.join(ROOT, "BENCH", "scaling_history.jsonl")
-    past: list[float] = []
+    past_sha: list[float] = []
+    past_touch: list[float] = []
     if os.path.exists(hist_path):
         with open(hist_path) as f:
             for line in f:
                 if line.strip():
-                    v = json.loads(line).get("grant_probe_abs")
+                    rec = json.loads(line)
+                    v = rec.get("grant_probe_abs")
                     if v:
-                        past.append(v)
-    info: dict = {"grant_probe_abs": round(probe, 1)}
+                        past_sha.append(v)
+                    v = rec.get("grant_probe_memtouch_abs")
+                    if v:
+                        past_touch.append(v)
+    info: dict = {
+        "grant_probe_abs": round(probe["sha"], 1),
+        "grant_probe_memtouch_abs": round(probe["memtouch"], 1),
+    }
+    # the most-degraded axis governs: Spark tracks the worst of core
+    # arithmetic and page-allocation throughput
+    rels = []
+    for vals, cur, key in ((past_sha, probe["sha"], "sha"),
+                           (past_touch, probe["memtouch"], "memtouch")):
+        if vals:
+            med = sorted(vals)[len(vals) // 2]
+            rels.append(cur / med)
+            info[f"grant_probe_{key}_history_median"] = round(med, 1)
     events = CDC_EVENTS
-    if past:
-        med = sorted(past)[len(past) // 2]
-        rel = probe / med
-        info["grant_probe_history_median"] = round(med, 1)
+    if rels:
+        rel = min(rels)
         info["grant_probe_vs_median"] = round(rel, 3)
         if rel < 0.3:
             events = min(CDC_EVENTS, 2_000_000)
@@ -390,8 +446,7 @@ def run_cdc_scaling(events_path: str, tmp: str, on_pair=None, gate_info: dict | 
         g_mid = _grant_probe()
         r_hi = one_run(hi, 2 * i + 1) if r_lo is not None else None
         g1 = _grant_probe()
-        grants = [g0, g_mid, g1]
-        drift = max(grants) / max(min(grants), 1.0)
+        drift = _probe_drift([g0, g_mid, g1])
         if r_lo is None or r_hi is None:
             pairs.append({
                 "lo": r_lo, "hi": r_hi, "speedup": None,
@@ -401,7 +456,12 @@ def run_cdc_scaling(events_path: str, tmp: str, on_pair=None, gate_info: dict | 
                 on_pair(pairs)
             continue
         speedup = r_hi["events_per_sec"] / r_lo["events_per_sec"]
-        sane = (1.0 / ratio) < speedup < ratio * 1.1
+        # a 4x-core run of a CPU-dense job cannot honestly be SLOWER: a
+        # speedup <= 1 means the host moved under the pair (in a way the
+        # probes may have missed) or the workload is too small to occupy
+        # the hi level — neither is valid scaling evidence (r2 recorded a
+        # 0.25x "valid" pair under the old (1/ratio, ...) band)
+        sane = 1.0 < speedup < ratio * 1.1
         pairs.append({
             "lo": r_lo,
             "hi": r_hi,
@@ -502,6 +562,7 @@ def _update_scaling_history(cdc: dict) -> dict:
         "host_cpu_ceiling_speedup": cdc["host_cpu_ceiling_speedup"],
         "window_valid": cdc.get("window_valid", True),
         "grant_probe_abs": cdc.get("grant_probe_abs"),
+        "grant_probe_memtouch_abs": cdc.get("grant_probe_memtouch_abs"),
     }
     with open(hist_path, "a") as f:
         f.write(json.dumps(entry) + "\n")

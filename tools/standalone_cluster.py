@@ -178,7 +178,7 @@ def run_standalone_scaling(events: str, workdir: str,
     1 executor × C cores vs 4 executors × C cores, grant-probe-bracketed
     (same validity rule as bench.py's local[k] pairs)."""
     sys.path.insert(0, ROOT)
-    from bench import _PAIR_DRIFT_MAX, _grant_probe  # noqa: E402
+    from bench import _PAIR_DRIFT_MAX, _grant_probe, _probe_drift  # noqa: E402
 
     zip_path = _zip_engine()
     result: dict = {
@@ -209,7 +209,7 @@ def run_standalone_scaling(events: str, workdir: str,
                 shutil.rmtree(tbl_dir, ignore_errors=True)
             grants.append(_grant_probe())
         lo, hi = levels["lo"], levels["hi"]
-        drift = max(grants) / max(min(grants), 1.0)
+        drift = _probe_drift(grants)
         speedup = hi["events_per_sec"] / lo["events_per_sec"]
         result.update({
             "events": lo["events"],
@@ -220,7 +220,9 @@ def run_standalone_scaling(events: str, workdir: str,
             "speedup_lo_to_hi": round(speedup, 3),
             "scaling_efficiency_raw": round(speedup / 4, 3),
             "grant_drift": round(drift, 2),
-            "valid": bool(drift <= _PAIR_DRIFT_MAX and 0.25 < speedup < 4.4),
+            # same validity band as bench.py: a 4x-executor run that is not
+            # FASTER is host movement or an under-sized workload, not evidence
+            "valid": bool(drift <= _PAIR_DRIFT_MAX and 1.0 < speedup < 4.4),
         })
         return result
     finally:
