@@ -360,18 +360,48 @@ def _gate_cdc_events() -> tuple[int, dict]:
             med = sorted(vals)[len(vals) // 2]
             rels.append(cur / med)
             info[f"grant_probe_{key}_history_median"] = round(med, 1)
+    # bounded wait-for-health: the page-allocation collapse arrives in
+    # bursts (observed: minutes-long windows of ~3 MB/s memtouch against a
+    # multi-GB/s healthy baseline — a 1000x swing, so an ABSOLUTE floor
+    # separates the modes cleanly where a history median would be poisoned
+    # by past degraded windows). Starting an 8M-event scaling phase inside
+    # a burst measures nothing and burns the whole phase budget; re-probe
+    # for up to WAIT_FOR_HEALTH_S, then proceed regardless (scaled down)
+    # so a permanently sick host still yields a report.
+    wait_budget = float(os.environ.get("SPARK_GRAFT_WAIT_FOR_HEALTH_S", "480"))
+    memtouch_floor = float(os.environ.get("SPARK_GRAFT_MEMTOUCH_FLOOR", "2e8"))
+    waited = 0.0
+    while probe["memtouch"] < memtouch_floor and waited < wait_budget:
+        time.sleep(60)
+        waited += 60
+        probe = _grant_probe()
+    if waited:
+        info["waited_for_health_s"] = waited
+        info["grant_probe_abs"] = round(probe["sha"], 1)
+        info["grant_probe_memtouch_abs"] = round(probe["memtouch"], 1)
+        rels = rels[:1]  # sha rel only; recompute below if sha history exists
+        if past_sha:
+            rels = [probe["sha"] / sorted(past_sha)[len(past_sha) // 2]]
+    info["memtouch_collapsed"] = bool(probe["memtouch"] < memtouch_floor)
+
     events = CDC_EVENTS
     if rels:
         rel = min(rels)
         info["grant_probe_vs_median"] = round(rel, 3)
-        if rel < 0.3:
-            events = min(CDC_EVENTS, 2_000_000)
-            info["events_scaled_down"] = True
-            info["events_scaled_down_reason"] = (
-                f"host grant probe at {rel:.2f}x the historical median — a "
-                "full-size scaling phase on a collapsed grant measures only "
-                "the driver timeout"
-            )
+    else:
+        rel = None
+    if (rel is not None and rel < 0.3) or info["memtouch_collapsed"]:
+        events = min(CDC_EVENTS, 2_000_000)
+        info["events_scaled_down"] = True
+        info["events_scaled_down_reason"] = (
+            "page-allocation path collapsed (memtouch "
+            f"{probe['memtouch'] / 1e6:.1f} MB/s < floor) — "
+            if info["memtouch_collapsed"]
+            else f"host grant probe at {rel:.2f}x the historical median — "
+        ) + (
+            "a full-size scaling phase on a collapsed grant measures only "
+            "the driver timeout"
+        )
     return events, info
 
 
@@ -404,6 +434,12 @@ def run_cdc_scaling(events_path: str, tmp: str, on_pair=None, gate_info: dict | 
     def one_run(cores: int, i: int) -> dict | None:
         out = os.path.join(tmp, f"replay_{cores}_{i}.json")
         wh = os.path.join("/dev/shm" if os.path.isdir("/dev/shm") else tmp, f"spark_graft_wh_{cores}")
+        # cluster-shaped heap: a replay level is a stand-in for N modest
+        # executors, not one 48 GiB JVM — and on this host a lazily-grown
+        # giant heap pays the (sometimes 100x-degraded) fresh-page fault
+        # path for every GiB it expands into mid-measurement
+        env = dict(os.environ, SPARK_GRAFT_DRIVER_MEM=os.environ.get(
+            "SPARK_GRAFT_REPLAY_MEM", "12g"))
         try:
             with _CpuSampler() as sampler:
                 subprocess.run(
@@ -417,6 +453,7 @@ def run_cdc_scaling(events_path: str, tmp: str, on_pair=None, gate_info: dict | 
                     cwd=ROOT,
                     check=True,
                     timeout=RUN_TIMEOUT_S,
+                    env=env,
                     stdout=subprocess.DEVNULL,
                     stderr=subprocess.DEVNULL,
                 )
