@@ -474,15 +474,34 @@ def run_cdc_scaling(events_path: str, tmp: str, on_pair=None, gate_info: dict | 
     def sampler_stats_safe() -> dict:
         return {"steal_pct_mean": None, "idle_pct_mean": None}
 
+    memtouch_floor = float(os.environ.get("SPARK_GRAFT_MEMTOUCH_FLOOR", "2e8"))
     for i in range(SCALE_RUNS):
         if i > 0 and time.time() - phase_t0 > SCALING_BUDGET_S:
             skipped_pairs = SCALE_RUNS - i
             break
+        # per-pair health wait: the page-alloc collapse arrives in bursts of
+        # minutes; starting a pair inside one guarantees an invalid pair.
+        # Bounded so a permanently sick host still completes the phase.
         g0 = _grant_probe()
-        r_lo = one_run(lo, 2 * i)
+        pair_wait_t0 = time.time()
+        while (g0["memtouch"] < memtouch_floor
+               and time.time() - pair_wait_t0 < 240
+               and time.time() - phase_t0 < SCALING_BUDGET_S):
+            time.sleep(45)
+            g0 = _grant_probe()
+        # alternate run order across pairs: the collapse episodes are
+        # roughly periodic and a pair's SECOND run starts minutes into the
+        # healthy stretch, so a fixed order systematically hands the next
+        # episode to the same level (observed: 5 consecutive pairs with a
+        # fast lo and a collapsed hi). ORDER_OFFSET lets a caller that runs
+        # one pair per invocation (tools/hunt_scaling.py) keep alternating.
+        off = int(os.environ.get("SPARK_GRAFT_ORDER_OFFSET", "0"))
+        first, second = (lo, hi) if (i + off) % 2 == 0 else (hi, lo)
+        r_first = one_run(first, 2 * i)
         g_mid = _grant_probe()
-        r_hi = one_run(hi, 2 * i + 1) if r_lo is not None else None
+        r_second = one_run(second, 2 * i + 1) if r_first is not None else None
         g1 = _grant_probe()
+        r_lo, r_hi = (r_first, r_second) if first == lo else (r_second, r_first)
         drift = _probe_drift([g0, g_mid, g1])
         if r_lo is None or r_hi is None:
             pairs.append({
@@ -617,8 +636,27 @@ def _update_scaling_history(cdc: dict) -> dict:
         and h.get("window_valid", True)
     ]
     ratio = cdc["cores_hi"] / cdc["cores_lo"]
+    # most recent VALID window at this pair/workload — survives in the
+    # report even when THIS window is invalid (the valid windows are hunted
+    # opportunistically between host-collapse bursts; see tools/hunt_scaling.py)
+    valid_hist = [
+        h for h in hist
+        if h["cores_lo"] == cdc["cores_lo"] and h["cores_hi"] == cdc["cores_hi"]
+        and h["events"] == cdc["events"] and h.get("window_valid", True)
+    ]
+    last_valid = None
+    if valid_hist:
+        h = valid_hist[-1]
+        last_valid = {
+            "lo_events_per_sec": h["lo_events_per_sec"],
+            "hi_events_per_sec": h["hi_events_per_sec"],
+            "speedup": round(h["hi_events_per_sec"] / h["lo_events_per_sec"], 3),
+            "efficiency_raw": round(
+                h["hi_events_per_sec"] / h["lo_events_per_sec"] / ratio, 3),
+            "host_cpu_ceiling_speedup": h.get("host_cpu_ceiling_speedup"),
+        }
     if not same_pair:
-        return {"n_runs_in_history": 0}
+        return {"n_runs_in_history": 0, "last_valid_window": last_valid}
     speedups = sorted(
         h["hi_events_per_sec"] / h["lo_events_per_sec"] for h in same_pair
     )
@@ -632,6 +670,7 @@ def _update_scaling_history(cdc: dict) -> dict:
     )
     return {
         "n_runs_in_history": len(same_pair),
+        "last_valid_window": last_valid,
         "median_window_speedup": round(median_speedup, 3),
         "median_window_efficiency": round(median_speedup / ratio, 3),
         "noise_windows_over_unity": noise_windows,
@@ -776,6 +815,22 @@ def write_bench_md(times: dict[str, float], cdc: dict, buckets: dict | None = No
         for i, r in enumerate(cdc.get("runs", []))
     ]
     hist = cdc.get("best")
+    lv = (hist or {}).get("last_valid_window")
+    if lv:
+        lines += [
+            "",
+            "### Most recent VALID window (same pair, same workload)",
+            "",
+            "Valid = grant drift ≤ 1.5× on both probe axes AND 1 < speedup <",
+            "4.4. Windows are hunted opportunistically between the host's",
+            "page-allocation-collapse bursts (tools/hunt_scaling.py):",
+            "",
+            f"* lo {lv['lo_events_per_sec']} ev/s → hi {lv['hi_events_per_sec']}"
+            f" ev/s: speedup **{lv['speedup']}×**, raw efficiency"
+            f" **{lv['efficiency_raw']}**"
+            + (f", host CPU ceiling that window {lv['host_cpu_ceiling_speedup']}×."
+               if lv.get("host_cpu_ceiling_speedup") else "."),
+        ]
     if hist and hist.get("median_window_speedup") is not None:
         lines += [
             "",
