@@ -847,9 +847,18 @@ class SnapshotTable(LakeTable):
         small = len(affected) <= self.n_buckets // 2
         old_sp = spark.conf.get("spark.sql.shuffle.partitions")
         old_coal = spark.conf.get("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        old_aqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
         t_apply = time.time()
         commit_id = uuid.uuid4().hex[:12]
         try:
+            # AQE off for the apply job: its exchange partitioning is FIXED
+            # by design (it IS the bucket layout / the affected-bucket
+            # count), the LWW aggregation needs no skew-join splitting
+            # (map-side partial agg already bounds hot keys), so adaptive
+            # execution has nothing to adapt — it only inserts a QueryStage
+            # materialization barrier plus a driver re-optimization round
+            # trip per merge, pure serial floor at any batch cadence
+            spark.conf.set("spark.sql.adaptive.enabled", "false")
             if small:
                 unioned = unioned.repartition(
                     len(affected), *[F.col(k) for k in self.key_cols]
@@ -871,6 +880,7 @@ class SnapshotTable(LakeTable):
         finally:
             spark.conf.set("spark.sql.shuffle.partitions", old_sp)
             spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", old_coal)
+            spark.conf.set("spark.sql.adaptive.enabled", old_aqe)
         apply_ms = (time.time() - t_apply) * 1000
         metrics = obs.get
         n_keys = int(metrics["n_keys"] or 0)

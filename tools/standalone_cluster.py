@@ -229,6 +229,33 @@ def run_standalone_scaling(events: str, workdir: str,
         os.unlink(zip_path)
 
 
+def append_history(res: dict) -> None:
+    """Persist every completed standalone pair (valid or not) to
+    BENCH/standalone_history.jsonl; bench.py surfaces the most recent
+    VALID one in BENCH/BASELINE.md even when the reporting run's own
+    window hit a host-collapse burst."""
+    if res.get("failed"):
+        return
+    path = os.path.join(ROOT, "BENCH", "standalone_history.jsonl")
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    with open(path, "a") as f:
+        f.write(json.dumps({"ts": round(time.time(), 1), **res}) + "\n")
+
+
+def last_valid_from_history() -> dict | None:
+    path = os.path.join(ROOT, "BENCH", "standalone_history.jsonl")
+    if not os.path.exists(path):
+        return None
+    last = None
+    with open(path) as f:
+        for line in f:
+            if line.strip():
+                rec = json.loads(line)
+                if rec.get("valid"):
+                    last = rec
+    return last
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--events", required=True)
@@ -237,6 +264,7 @@ def main() -> None:
     ap.add_argument("--cores-per-worker", type=int, default=4)
     args = ap.parse_args()
     res = run_standalone_scaling(args.events, args.workdir, args.cores_per_worker)
+    append_history(res)
     with open(args.out, "w") as f:
         json.dump(res, f, indent=2)
     print(json.dumps(res))
