@@ -158,6 +158,8 @@ class SnapshotTable(LakeTable):
         self.order_cols = list(order_cols)
         self.op_col = op_col
         self.n_buckets = n_buckets
+        # committed_batch_ids incremental cache: (version it covers, ids)
+        self._bid_cache: tuple[int | None, set[str] | None] = (None, None)
         os.makedirs(os.path.join(path, "manifests"), exist_ok=True)
         os.makedirs(os.path.join(path, "data"), exist_ok=True)
 
@@ -393,11 +395,33 @@ class SnapshotTable(LakeTable):
         return removed
 
     def committed_batch_ids(self) -> set[str]:
-        return {
-            s["summary"]["batch-id"]
-            for s in self.snapshots()
-            if "batch-id" in s.get("summary", {})
-        }
+        """Batch ids recorded in the snapshot chain — the lake-side half of
+        exactly-once. Incrementally cached per handle: a naive walk is one
+        manifest JSON read per snapshot PER MERGE, i.e. O(batches²) driver
+        file reads over a long replay (10⁴ batches → 10⁸ reads). The cache
+        keys on the current version and only walks the manifests committed
+        since the last call — including another writer's (the walk stops at
+        the cached version, which is always an ancestor: versions are
+        linear under the CAS commit)."""
+        cur = self._current_version()
+        if cur is None:
+            return set()
+        cached_v, cached = self._bid_cache
+        if cached_v == cur:
+            return cached
+        ids: set[str] = set(cached) if cached is not None else set()
+        v: int | None = cur
+        while v is not None and v != cached_v:
+            try:
+                m = self._load_manifest(v)
+            except FileNotFoundError:
+                break  # older history expired (expire_snapshots)
+            s = m.get("summary", {})
+            if "batch-id" in s:
+                ids.add(s["batch-id"])
+            v = m.get("parent_version")
+        self._bid_cache = (cur, ids)
+        return ids
 
     # ---------- read ----------
 
