@@ -646,15 +646,22 @@ def _update_scaling_history(cdc: dict) -> dict:
     # most recent VALID window at this pair/workload — survives in the
     # report even when THIS window is invalid (the valid windows are hunted
     # opportunistically between host-collapse bursts; see tools/hunt_scaling.py)
+    # only windows EXPLICITLY flagged valid count here: pre-validation-era
+    # rows (no flag) never passed the drift+sanity test, and one of them is
+    # a physically impossible 4.26x noise window
     valid_hist = [
         h for h in hist
         if h["cores_lo"] == cdc["cores_lo"] and h["cores_hi"] == cdc["cores_hi"]
-        and h["events"] == cdc["events"] and h.get("window_valid", True)
+        and h["events"] == cdc["events"] and h.get("window_valid") is True
     ]
     last_valid = None
     if valid_hist:
         h = valid_hist[-1]
+        sp = sorted(v["hi_events_per_sec"] / v["lo_events_per_sec"] for v in valid_hist)
         last_valid = {
+            "n_valid": len(valid_hist),
+            "median_valid_speedup": round(sp[len(sp) // 2], 3),
+            "best_valid_speedup": round(sp[-1], 3),
             "lo_events_per_sec": h["lo_events_per_sec"],
             "hi_events_per_sec": h["hi_events_per_sec"],
             "speedup": round(h["hi_events_per_sec"] / h["lo_events_per_sec"], 3),
@@ -705,28 +712,43 @@ def _standalone_md(sa: dict | None) -> list[str]:
     def _hist_valid_lines() -> list[str]:
         try:
             sys.path.insert(0, os.path.join(ROOT, "tools"))
-            from standalone_cluster import last_valid_from_history
+            from standalone_cluster import valid_from_history
 
-            lv = last_valid_from_history()
+            vw = valid_from_history()
         except Exception:  # noqa: BLE001
             return []
-        if not lv:
+        if not vw:
             return []
-        return [
+        sp = sorted(w["speedup_lo_to_hi"] for w in vw)
+        med = sp[len(sp) // 2]
+        best = max(vw, key=lambda w: w["speedup_lo_to_hi"])
+        lines = [
             "",
-            "Most recent VALID standalone window"
-            " (BENCH/standalone_history.jsonl):",
+            f"VALID standalone windows so far ({len(vw)};"
+            " BENCH/standalone_history.jsonl):",
             "",
-            f"* 1×{lv['cores_per_worker']}c executor {lv['lo_events_per_sec']}"
-            f" ev/s → 4×{lv['cores_per_worker']}c executors"
-            f" {lv['hi_events_per_sec']} ev/s on {lv['events']} events:"
-            f" speedup **{lv['speedup_lo_to_hi']}×**, raw efficiency"
-            f" **{lv['scaling_efficiency_raw']}** (grant drift"
-            f" {lv['grant_drift']}×). Separate executor JVMs scale well past",
-            "  the single-JVM local[k] figure — each executor owns its own",
-            "  address space (no shared mmap/GC domain), exactly as on a real",
-            "  multi-executor cluster.",
+            "| lo ev/s | hi ev/s | speedup | raw eff | drift |",
+            "|---|---|---|---|---|",
         ]
+        lines += [
+            f"| {w['lo_events_per_sec']} | {w['hi_events_per_sec']} |"
+            f" {w['speedup_lo_to_hi']}× | {w['scaling_efficiency_raw']} |"
+            f" {w['grant_drift']}× |"
+            for w in vw
+        ]
+        lines += [
+            "",
+            f"* median valid speedup **{med}×** (eff {round(med / 4, 3)}); best"
+            f" {best['speedup_lo_to_hi']}× (eff"
+            f" {best['scaling_efficiency_raw']},"
+            f" {best['hi_events_per_sec']} ev/s at 4 executors). Separate",
+            "  executor JVMs scale well past the single-JVM local[k] figure —",
+            "  each executor owns its own address space (no shared mmap/GC",
+            "  domain), exactly as on a real multi-executor cluster; the",
+            "  spread across valid windows is the host's grant moving, not",
+            "  the engine (drift probes bound it per window).",
+        ]
+        return lines
 
     if sa.get("failed"):
         lines += [f"**FAILED**: {sa['failed']} — no standalone number this window.", ""]
@@ -745,8 +767,7 @@ def _standalone_md(sa: dict | None) -> list[str]:
         "  N→4N-node cluster memory bandwidth multiplies with nodes, so this",
         "  single-box figure lower-bounds true cluster scaling (see ceilings above).",
     ]
-    if not sa.get("valid"):
-        lines += _hist_valid_lines()
+    lines += _hist_valid_lines()
     return lines
 
 
@@ -858,17 +879,22 @@ def write_bench_md(times: dict[str, float], cdc: dict, buckets: dict | None = No
     if lv:
         lines += [
             "",
-            "### Most recent VALID window (same pair, same workload)",
+            "### VALID local[k] windows (same pair, same workload)",
             "",
             "Valid = grant drift ≤ 1.5× on both probe axes AND 1 < speedup <",
             "4.4. Windows are hunted opportunistically between the host's",
             "page-allocation-collapse bursts (tools/hunt_scaling.py):",
             "",
-            f"* lo {lv['lo_events_per_sec']} ev/s → hi {lv['hi_events_per_sec']}"
-            f" ev/s: speedup **{lv['speedup']}×**, raw efficiency"
-            f" **{lv['efficiency_raw']}**"
+            f"* {lv['n_valid']} valid window(s): median speedup"
+            f" **{lv['median_valid_speedup']}×** (eff"
+            f" {round(lv['median_valid_speedup'] / 4, 3)}), best"
+            f" {lv['best_valid_speedup']}×. Most recent: lo"
+            f" {lv['lo_events_per_sec']} ev/s → hi {lv['hi_events_per_sec']}"
+            f" ev/s, speedup **{lv['speedup']}×**"
             + (f", host CPU ceiling that window {lv['host_cpu_ceiling_speedup']}×."
                if lv.get("host_cpu_ceiling_speedup") else "."),
+            "* local[k] levels share ONE JVM/address space; the standalone",
+            "  multi-JVM pairs below are the cluster-faithful measurement.",
         ]
     if hist and hist.get("median_window_speedup") is not None:
         lines += [

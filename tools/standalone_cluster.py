@@ -243,17 +243,22 @@ def append_history(res: dict) -> None:
 
 
 def last_valid_from_history() -> dict | None:
+    valid = valid_from_history()
+    return valid[-1] if valid else None
+
+
+def valid_from_history() -> list[dict]:
     path = os.path.join(ROOT, "BENCH", "standalone_history.jsonl")
     if not os.path.exists(path):
-        return None
-    last = None
+        return []
+    out = []
     with open(path) as f:
         for line in f:
             if line.strip():
                 rec = json.loads(line)
                 if rec.get("valid"):
-                    last = rec
-    return last
+                    out.append(rec)
+    return out
 
 
 def main() -> None:
