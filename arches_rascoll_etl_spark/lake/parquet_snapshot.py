@@ -408,7 +408,9 @@ class SnapshotTable(LakeTable):
             return set()
         cached_v, cached = self._bid_cache
         if cached_v == cur:
-            return cached
+            # Copy: callers mutating the returned set must not corrupt the
+            # per-handle exactly-once cache shared by later merges.
+            return set(cached)
         ids: set[str] = set(cached) if cached is not None else set()
         v: int | None = cur
         while v is not None and v != cached_v:
@@ -421,7 +423,7 @@ class SnapshotTable(LakeTable):
                 ids.add(s["batch-id"])
             v = m.get("parent_version")
         self._bid_cache = (cur, ids)
-        return ids
+        return set(ids)
 
     # ---------- read ----------
 

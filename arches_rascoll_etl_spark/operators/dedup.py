@@ -38,6 +38,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from arches_rascoll_etl_spark.operators.materialize import materialize
+
 
 # simhash SWAR vote lanes are 16 bits wide, but the accumulator is a SIGNED
 # long: once the TOP lane (bits 48-63) exceeds 0x7FFF the packed sum passes
@@ -173,6 +175,7 @@ def lsh_candidate_pairs(
     k_shingles: int = 5,
     n_hashes: int = 16,
     bands: int = 4,
+    persist: str = "local_checkpoint",
 ) -> DataFrame:
     """MinHash+LSH near-duplicate candidates: (id_a, id_b, band) pairs that
     collide in ≥1 band. rows_per_band = n_hashes/bands. One shuffle on the
@@ -194,12 +197,12 @@ def lsh_candidate_pairs(
     ).select("_id", "bk.band", "bk.band_sig")
     # materialize the signature table once: Catalyst's exchange reuse does
     # not fire across the self-join's aliased subtrees, so without this the
-    # full shingle+md5 pipeline runs TWICE. The banded table is tiny
-    # (n_docs × bands rows); localCheckpoint stores it on executors,
-    # truncates lineage, and is freed by the ContextCleaner when the result
-    # is dropped. At 100 TB you'd persist signatures as a table — this is
-    # the in-session equivalent. Halves q28's wall time.
-    banded = banded.localCheckpoint(eager=True)
+    # full shingle+md5 pipeline runs TWICE (halves q28's wall time). The
+    # banded table is tiny (n_docs × bands rows). `persist` picks the
+    # mechanism: local_checkpoint (sandbox default) vs lineage-keeping
+    # disk/memory_and_disk for executor-loss resilience — see
+    # operators.materialize for the trade-offs.
+    banded = materialize(banded, persist)
     a = banded.alias("a")
     b = banded.alias("b")
     pairs = (
@@ -349,16 +352,22 @@ def simhash_table(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     return votes.select("_id", fp.alias("simhash"))
 
 
-def simhash_neardup_pairs(df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3) -> DataFrame:
+def simhash_neardup_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_hamming: int = 3,
+    persist: str = "local_checkpoint",
+) -> DataFrame:
     """SimHash near-dup candidates: block on 16-bit chunks (a pair within
     hamming ≤3 of 64 bits must agree on ≥1 of 4 chunks), verify hamming via
     bit_count(xor). Shuffle = groupBy(chunk value), never O(n²)."""
     # materialized once — the chunk self-join would otherwise run the full
-    # tokenize+md5+vote pipeline twice (see lsh_candidate_pairs)
-    sh = (
-        simhash_table(df, id_col, text_col)
-        .withColumnRenamed("simhash", "sim")
-        .localCheckpoint(eager=True)
+    # tokenize+md5+vote pipeline twice (see lsh_candidate_pairs); `persist`
+    # selects the mechanism (operators.materialize)
+    sh = materialize(
+        simhash_table(df, id_col, text_col).withColumnRenamed("simhash", "sim"),
+        persist,
     )
     chunks = sh.select(
         "_id", "sim",
@@ -388,8 +397,11 @@ def duplicate_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
     plus a pointer-jumping step (label ← label's label) for logarithmic
     convergence on chains. Propagating over labels alone is NOT enough — a
     path component a-b-c-d stalls with two labels — so edges stay in the
-    loop. Driver loop, executor data: each round = one edge join + min-agg;
-    converges in O(log diameter) rounds, checked via isEmpty on the diff."""
+    loop. Driver loop, executor data: each round is exactly ONE driver
+    action — a changed-row count on the persisted new frame (which both
+    materializes it for the next round's joins and decides convergence) —
+    instead of a shuffle-heavy exceptAll set-difference. Converges in
+    O(log diameter) rounds."""
     edges = (
         pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
         .unionByName(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
@@ -399,6 +411,7 @@ def duplicate_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
     labels = edges.groupBy(F.col("src").alias("id")).agg(
         F.least(F.min("dst"), F.first("src")).alias("label")
     ).persist()
+    cached = labels  # the persisted handle backing `labels`
     try:
         for _ in range(max_iter):
             neighbor_min = (
@@ -412,15 +425,18 @@ def duplicate_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
                 .join(parents, "label", "left")
                 .select(
                     "id",
+                    F.col("label").alias("_old"),
                     F.least(
                         "label", F.coalesce("nmin", "label"), F.coalesce("pmin", "label")
                     ).alias("label"),
                 )
                 .persist()
             )
-            changed = not prop.exceptAll(labels).isEmpty()
-            labels.unpersist()
-            labels = prop
+            # one action: materializes prop AND decides convergence
+            changed = prop.where(F.col("label") != F.col("_old")).count() > 0
+            cached.unpersist()
+            cached = prop
+            labels = prop.drop("_old")
             if not changed:
                 break
         return labels

@@ -26,6 +26,8 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 from pyspark.sql.window import Window
 
+from arches_rascoll_etl_spark.operators.materialize import materialize
+
 
 def _c(col: Column | str) -> Column:
     return F.col(col) if isinstance(col, str) else col
@@ -241,6 +243,7 @@ def embedding_neardup_pairs(
     n_planes: int = 4,
     seed: int = 42,
     n_tables: int = 1,
+    persist: str = "local_checkpoint",
 ) -> DataFrame:
     """cosine ≥ threshold pairs, LSH-blocked self-join then exact verify.
 
@@ -255,11 +258,15 @@ def embedding_neardup_pairs(
     per table on that table's signature, never O(n²)."""
     if n_tables <= 1:
         # materialized once — the self-join would otherwise evaluate the
-        # plane dot products twice (see dedup.lsh_candidate_pairs)
-        base = _spread(df).select(
-            F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"),
-            lsh_signature(vec_col, dim, n_planes, seed).alias("_sig"),
-        ).localCheckpoint(eager=True)
+        # plane dot products twice (see dedup.lsh_candidate_pairs);
+        # `persist` selects the mechanism (operators.materialize)
+        base = materialize(
+            _spread(df).select(
+                F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"),
+                lsh_signature(vec_col, dim, n_planes, seed).alias("_sig"),
+            ),
+            persist,
+        )
         a, b = base.alias("a"), base.alias("b")
         return (
             a.join(b, on="_sig")
@@ -272,14 +279,17 @@ def embedding_neardup_pairs(
             .where(F.col("cos_sim") >= threshold)
         )
 
-    base = _spread(df).select(
-        F.col(id_col).alias("_id"),
-        F.col(vec_col).alias("_v"),
-        *[
-            lsh_signature(vec_col, dim, n_planes, seed + t).alias(f"_sig{t}")
-            for t in range(n_tables)
-        ],
-    ).localCheckpoint(eager=True)  # consumed 2·T+2 times below
+    base = materialize(
+        _spread(df).select(
+            F.col(id_col).alias("_id"),
+            F.col(vec_col).alias("_v"),
+            *[
+                lsh_signature(vec_col, dim, n_planes, seed + t).alias(f"_sig{t}")
+                for t in range(n_tables)
+            ],
+        ),
+        persist,
+    )  # consumed 2·T+2 times below
     cand = None
     for t in range(n_tables):
         a = base.select("_id", f"_sig{t}").alias("a")

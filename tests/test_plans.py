@@ -19,6 +19,10 @@ def _plan(df) -> str:
 
 
 def test_dim_joins_broadcast(spark):
+    """q02 hints only `nation` (25 rows at every SF). `customer` carries no
+    hint — at test SF Catalyst/AQE still size-picks BHJ for it, but at 100×
+    scale the same plan degrades gracefully to shuffle join instead of
+    pinning a fact-scaled build side into every executor."""
     plan = _plan(Q.all_queries()["q02_revenue_by_nation"](spark, SF))
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan

@@ -78,6 +78,30 @@ def test_minhash_lsh_finds_near_dups(spark):
     assert all(3 not in p for p in pairs)
 
 
+def test_signature_persist_modes_agree(spark):
+    """The persist knob (operators.materialize) changes the mechanism —
+    lineage-truncating localCheckpoint (sandbox default) vs lineage-keeping
+    DISK_ONLY persist (executor-loss resilience at scale) vs none
+    (recompute per consumer) — never the result."""
+    base = "the quick brown fox jumps over the lazy dog again and again in the park"
+    rows = [(1, base), (2, base + " today"), (3, "entirely unrelated corpus text"), (4, base.replace("quick", "slow"))]
+    df = spark.createDataFrame(rows, "id long, text string")
+
+    def run(p):
+        return {(r.id_a, r.id_b) for r in dedup.lsh_candidate_pairs(df, "id", "text", n_hashes=16, bands=8, persist=p).collect()}
+
+    default = run("local_checkpoint")
+    assert (1, 2) in default
+    assert run("disk") == default
+    assert run("none") == default
+    sp = {(r.id_a, r.id_b) for r in dedup.simhash_neardup_pairs(df, "id", "text", persist="disk").collect()}
+    assert sp == {(r.id_a, r.id_b) for r in dedup.simhash_neardup_pairs(df, "id", "text").collect()}
+    import pytest
+
+    with pytest.raises(ValueError):
+        run("bogus")
+
+
 def test_ngram_jaccard_pairs(spark):
     rows = [
         (1, "a b c d e f g h"),
@@ -132,6 +156,29 @@ def test_simhash_swar_lane_cap_enforced(spark):
     df = spark.createDataFrame([(1, over), (2, capped)], "id long, text string")
     got = {r._id: r.simhash for r in dedup.simhash_table(df, "id", "text").collect()}
     assert got[1] == got[2] == _simhash_ref(tok)  # all-same-token: sign(h) bits
+
+
+def test_simhash_oracle_mirrors_swar_cap(spark):
+    """ADVICE r3: the DuckDB oracle CTE must apply the engine's 32767-token
+    cap, or q33/q40 oracles diverge on over-cap docs. The over-cap doc here
+    is adversarial — its post-cap suffix votes the OPPOSITE token, so an
+    uncapped oracle flips fingerprint bits and the hashes mismatch."""
+    import duckdb
+
+    from arches_rascoll_etl_spark.queries import _simhash_fp_cte
+
+    over = " ".join(["aaa"] * 32_767 + ["bbb"] * 40_000)
+    rows = [(1, over), (2, "hello world"), (3, "")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    eng = {r._id: r.simhash for r in dedup.simhash_table(df, "doc_id", "text").collect()}
+    assert eng[1] == _simhash_ref("aaa")  # cap keeps only the aaa prefix
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents(doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?, ?)", rows)
+    sql = f"WITH {_simhash_fp_cte()} SELECT doc_id, simhash FROM fp"
+    oracle = dict(con.execute(sql).fetchall())
+    assert oracle == eng
 
 
 def test_rolling_hash_vectorized_matches_naive_and_is_faster():
