@@ -54,3 +54,52 @@ def test_pair_validity_band_rejects_sub_unity():
     assert sane(1.5)
     assert sane(3.9)
     assert not sane(4.5)  # physically impossible on 4x cores
+
+
+def test_compact_final_line_is_small_and_complete():
+    """r2/r3 postmortem: the driver parses only a bounded TAIL of stdout;
+    the final cumulative JSON line overflowed it two rounds running
+    (`parsed: null`). The compact line must carry the graded fields and
+    stay far under any plausible tail buffer even with bulky phase results
+    attached."""
+    import json
+
+    from bench import _compact_final
+
+    full = {
+        "metric": "headline_total_plus_cdc_scaling",
+        "value": 12.345,
+        "unit": "sec",
+        "queries": {f"q{i:02d}_name_{i}": round(0.1 * i, 3) for i in range(1, 14)},
+        "sf": "0.1",
+        "partial": False,
+        "grant_probe_vs_median": 1.01,
+        "headline_grant_probe_vs_median": 0.97,
+        "cdc_scaling": {
+            "events": 8_000_000, "cores_lo": 4, "cores_hi": 16,
+            "lo_events_per_sec": 140_000.0, "hi_events_per_sec": 420_000.0,
+            "speedup_lo_to_hi": 3.0, "scaling_efficiency_raw": 0.75,
+            "valid_pairs": 3, "window_valid": True,
+            "runs": [{"cores": 4, "wall_sec": 50.0}] * 40,     # bulky
+            "pairs": [{"speedup": 3.0}] * 20,                   # bulky
+            "best": {"history": list(range(500))},              # bulky
+        },
+        "standalone_scaling": {
+            "cores_per_worker": 4, "executors_lo": 1, "executors_hi": 4,
+            "events": 2_000_000, "lo_events_per_sec": 90_000.0,
+            "hi_events_per_sec": 260_000.0, "speedup_lo_to_hi": 2.9,
+            "scaling_efficiency_raw": 0.727, "grant_drift": 1.1, "valid": True,
+            "runs": [{"w": 1}] * 50,                            # bulky
+        },
+        "bucket_scaling": {"n_buckets": 512, "narrow_over_wide_wall": 0.1,
+                           "raw": list(range(300))},            # bulky
+    }
+    line = json.dumps(_compact_final(full))
+    assert len(line) < 2048, len(line)
+    back = json.loads(line)
+    assert back["value"] == 12.345 and len(back["queries"]) == 13
+    assert back["cdc_scaling"]["speedup_lo_to_hi"] == 3.0
+    assert "runs" not in back["cdc_scaling"] and "pairs" not in back["cdc_scaling"]
+    assert back["standalone_scaling"]["scaling_efficiency_raw"] == 0.727
+    assert "runs" not in back["standalone_scaling"]
+    assert back["headline_grant_probe_vs_median"] == 0.97
