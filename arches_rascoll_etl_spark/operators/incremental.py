@@ -9,15 +9,22 @@ makes continuously-maintained rollups viable at scale. (The reference has
 no analogue; this generalizes its "recompute the staging table each run"
 into incremental view maintenance.)
 
-Supported aggregates are the self-invertible ones (COUNT, SUM — and
-derived AVG): an update retracts the old image's contribution and applies
-the new image's. MIN/MAX are not invertible under deletes and need a
-re-aggregation of affected groups instead (out of scope here, same
-pattern as the COW bucket rewrite). Null handling matches Spark SUM/COUNT
-semantics (null measure values are skipped, rows still counted). Null
-GROUP KEYS are a caller concern: SQL join equality won't merge them —
-coalesce nulls to a sentinel before grouping if your group columns can be
-null.
+Two maintenance strategies, chosen by the aggregate's algebra:
+
+* COUNT/SUM (and derived AVG) are self-invertible: an update retracts the
+  old image's contribution and applies the new image's — pure delta fold,
+  O(changed rows), the live table is never read (``agg_delta`` /
+  ``apply_agg_delta``).
+* MIN/MAX are NOT invertible under deletes (retracting the current max
+  needs the runner-up, which no delta carries), so ``maintain_minmax``
+  re-aggregates only the groups TOUCHED by the change stream from the
+  live table and stitches them onto the untouched groups' prior state —
+  O(changed rows) + O(rows in affected groups), never O(table).
+
+Null handling matches Spark SUM/COUNT semantics (null measure values are
+skipped, rows still counted). Null GROUP KEYS are a caller concern: SQL
+join equality won't merge them — coalesce nulls to a sentinel before
+grouping if your group columns can be null.
 
 Shapes:
 * ``aggregate_snapshot(df, group_cols, sum_cols)`` — the batch aggregate
@@ -127,3 +134,82 @@ def maintain_aggregate(
     return apply_agg_delta(
         prev, agg_delta(changes, group_cols, sum_cols), group_cols, sum_cols
     )
+
+
+# ---------------------------------------------------------------- MIN/MAX
+
+
+def minmax_snapshot(
+    df: DataFrame, group_cols: Sequence[str], minmax_cols: Sequence[str]
+) -> DataFrame:
+    """Reference batch aggregate the maintained MIN/MAX path must stay
+    equal to: (group_cols..., n_rows, min_<c>..., max_<c>...)."""
+    return df.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        *[F.min(F.col(c)).alias(f"min_{c}") for c in minmax_cols],
+        *[F.max(F.col(c)).alias(f"max_{c}") for c in minmax_cols],
+    )
+
+
+def affected_groups(changes: DataFrame, group_cols: Sequence[str]) -> DataFrame:
+    """Distinct group keys touched by a both-images change stream. Both
+    images contribute: a group-migrating update touches TWO groups (the
+    one it left and the one it joined), a delete touches the old image's
+    group, an insert the new image's."""
+    imgs = changes.select(
+        F.explode(
+            F.array(
+                F.when(
+                    F.col("old").isNotNull(),
+                    F.struct(*[F.col("old")[c].alias(c) for c in group_cols]),
+                ),
+                F.when(
+                    F.col("new").isNotNull(),
+                    F.struct(*[F.col("new")[c].alias(c) for c in group_cols]),
+                ),
+            )
+        ).alias("_g")
+    ).where(F.col("_g").isNotNull()).select("_g.*")
+    return imgs.distinct()
+
+
+def maintain_minmax(
+    table,
+    prev: DataFrame | None,
+    from_version: int | None,
+    to_version: int | None,
+    group_cols: Sequence[str],
+    minmax_cols: Sequence[str],
+) -> DataFrame:
+    """Maintain a MIN/MAX rollup over a :class:`SnapshotTable` by
+    affected-group re-aggregation.
+
+    MIN/MAX are not delta-foldable: deleting (or updating away) the
+    current max leaves the group's new max unknowable from the change
+    alone — you would need the runner-up, which no signed delta carries.
+    So instead of the SUM path's pure fold, the groups TOUCHED by the
+    change stream are re-aggregated from the live table at ``to_version``
+    (left-semi join live⋉touched → one hash agg) and unioned with the
+    untouched groups' prior state (prev anti-join touched). A touched
+    group whose rows all vanished yields no re-agg row and thus drops out.
+
+    Scale: cost is O(changed rows) to derive the touched-group set plus
+    O(rows in affected groups) for the re-agg — never O(table). The
+    touched set in a CDC batch is small relative to the table, so AQE
+    size-checks it into a broadcast semi-join at runtime (deliberately no
+    forced hint: a pathological batch touching every group degrades to a
+    shuffle join instead of OOMing executors). When ``group_cols`` equals
+    the table's bucket key, the semi-join additionally prunes at the scan
+    via the same manifest bucketing ``read_keys`` uses."""
+    if prev is None or from_version is None:
+        return minmax_snapshot(table.read(version=to_version), group_cols, minmax_cols)
+    changes = table.read_changes(from_version, to_version, include_old=True)
+    touched = affected_groups(changes, group_cols)
+    live = table.read(version=to_version)
+    re_agg = minmax_snapshot(
+        live.join(touched, on=list(group_cols), how="left_semi"),
+        group_cols,
+        minmax_cols,
+    )
+    kept = prev.join(touched, on=list(group_cols), how="left_anti")
+    return kept.unionByName(re_agg)

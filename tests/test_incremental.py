@@ -92,3 +92,77 @@ def test_incremental_rollup_group_migration_and_retraction(spark, tmp_table_dir)
     assert got == {"py": (1, 20), "rs": (1, 11)}  # go dropped, a migrated
     want = INC.aggregate_snapshot(tbl.read(version=1), ["lang"], ["size"])
     assert got == {r["lang"]: (r["n_rows"], r["sum_size"]) for r in want.collect()}
+
+
+def _minmax_rows(df, group, cols):
+    return {
+        tuple(r[c] for c in group): (
+            r["n_rows"],
+            *[r[f"min_{c}"] for c in cols],
+            *[r[f"max_{c}"] for c in cols],
+        )
+        for r in df.collect()
+    }
+
+
+def test_minmax_maintenance_equals_batch_at_every_version(spark, tmp_table_dir):
+    """Affected-group re-agg MIN/MAX must equal the batch aggregate at
+    every snapshot, including under the CDC feed's deletes."""
+    tbl = SnapshotTable(spark, tmp_table_dir, n_buckets=8)
+    for b in range(CFG.n_batches):
+        tbl.merge(batch_events(spark, CFG, b), batch_id=f"b{b}")
+    group, cols = ["lang"], ["commit_seq", "event_id"]
+    agg = INC.maintain_minmax(tbl, None, None, 0, group, cols)
+    assert _minmax_rows(agg, group, cols) == _minmax_rows(
+        INC.minmax_snapshot(tbl.read(version=0), group, cols), group, cols
+    )
+    for v in range(1, CFG.n_batches):
+        agg = INC.maintain_minmax(tbl, agg, v - 1, v, group, cols)
+        want = INC.minmax_snapshot(tbl.read(version=v), group, cols)
+        assert _minmax_rows(agg, group, cols) == _minmax_rows(want, group, cols), (
+            f"diverged at version {v}"
+        )
+
+
+def test_minmax_delete_of_current_max_finds_runner_up(spark, tmp_table_dir):
+    """The exact case that makes MIN/MAX non-invertible: delete the row
+    holding the group max — the maintained rollup must surface the
+    runner-up, which no signed delta could know. Also: group migration of
+    a max row and deletion of a group's last row."""
+    schema = (
+        "repo string, path string, commit_seq long, commit string, op string,"
+        " lang string, content string, size long"
+    )
+    tbl = SnapshotTable(spark, tmp_table_dir, n_buckets=4)
+    tbl.merge(
+        spark.createDataFrame(
+            [
+                ("r", "a", 1, "c1", "U", "py", "x", 50),   # py max
+                ("r", "b", 1, "c1", "U", "py", "y", 20),   # py runner-up
+                ("r", "c", 1, "c1", "U", "go", "z", 5),    # only go row
+                ("r", "d", 1, "c1", "U", "rs", "w", 7),
+            ],
+            schema,
+        ),
+        batch_id="b0",
+    )
+    prev = INC.minmax_snapshot(tbl.read(version=0), ["lang"], ["size"])
+    tbl.merge(
+        spark.createDataFrame(
+            [
+                ("r", "a", 2, "c2", "D", "py", "", 0),      # delete py max
+                ("r", "c", 2, "c2", "D", "go", "", 0),      # delete go's last row
+                ("r", "d", 2, "c2", "U", "py", "w2", 100),  # rs max migrates to py
+            ],
+            schema,
+        ),
+        batch_id="b1",
+    )
+    nxt = INC.maintain_minmax(tbl, prev, 0, 1, ["lang"], ["size"])
+    got = {r["lang"]: (r["n_rows"], r["min_size"], r["max_size"]) for r in nxt.collect()}
+    # py: b(20) + migrated d(100); go gone; rs gone (its only row migrated)
+    assert got == {"py": (2, 20, 100)}
+    want = INC.minmax_snapshot(tbl.read(version=1), ["lang"], ["size"])
+    assert got == {
+        r["lang"]: (r["n_rows"], r["min_size"], r["max_size"]) for r in want.collect()
+    }
