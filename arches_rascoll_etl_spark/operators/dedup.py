@@ -329,27 +329,32 @@ def simhash_table(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     # to the post-aggregation side (once per doc). The signed-long
     # accumulator caps docs at 32767 tokens — enforced above via
     # F.slice(tok_arr, 1, _SWAR_MAX_TOKENS).
+    # NOTE both wide expressions below are built as SQL STRINGS and handed
+    # to the JVM in ONE F.expr call each. Building them as Column trees
+    # costs one py4j round-trip PER OPERATOR (~450 for the fingerprint —
+    # measured ~0.9 s of pure driver-side Python before any data moved,
+    # most of q33's wall at sf0.1); the JVM parses the same tree from text
+    # in microseconds.
     lane_mask = 0x0001000100010001
     aggs = [F.sum(F.col("_w")).alias("_n")] + [
-        F.sum(
-            F.shiftrightunsigned(F.col("_h"), g).bitwiseAND(F.lit(lane_mask))
-        ).alias(f"_s{g}")
+        F.expr(f"sum(shiftrightunsigned(_h, {g}) & {lane_mask}) AS _s{g}")
         for g in range(16)
     ]
     votes = packed.groupBy("_id").agg(*aggs)
-    # fingerprint bit j (MSB-first md5 order) lives at combined-bit
-    # p = 63-j = g + 16*k → counter k of sum g; vote_j > 0 ⟺ 2*count > n
-    fp = None
-    for j in range(64):
-        p = 63 - j
-        g, k = p % 16, p // 16
-        count = F.shiftrightunsigned(F.col(f"_s{g}"), 16 * k).bitwiseAND(F.lit(0xFFFF))
-        w = -(1 << 63) if j == 0 else (1 << (63 - j))
-        term = F.when(count * 2 > F.col("_n"), F.lit(w).cast("long")).otherwise(
-            F.lit(0).cast("long")
-        )
-        fp = term if fp is None else fp + term
-    return votes.select("_id", fp.alias("simhash"))
+    # fingerprint bit at combined-bit position p = g + 16*k (counter k of
+    # sum g), set ⟺ vote > 0 ⟺ 2*count > n. Branch-free: the sign bit of
+    # (2*count - n - 1) is 0 exactly when 2*count > n, so
+    # bit = shiftrightunsigned(2c - n - 1, 63) ^ 1, placed with shiftleft
+    # (p = 63 lands on the long's sign bit — the two's-complement packing).
+    # No WHEN chain: branchless bit math also evaluates ~2× faster.
+    terms = [
+        "(shiftleft((shiftrightunsigned("
+        f"(shiftrightunsigned(_s{p % 16}, {16 * (p // 16)}) & 65535) * 2 - _n - 1,"
+        f" 63) ^ 1), {p}))"
+        for p in range(64)
+    ]
+    fp_sql = "(" + " | ".join(terms) + ") AS simhash"
+    return votes.select("_id", F.expr(fp_sql))
 
 
 def simhash_neardup_pairs(
