@@ -846,6 +846,22 @@ class SnapshotTable(LakeTable):
             )
             unioned = unioned.unionByName(target_ev)
 
+        # dictionary-encode op through the apply exchange: a 1-char string
+        # field costs 16 bytes in an UnsafeRow (8-byte fixed slot + 8-byte
+        # aligned data) per event, per map-side agg buffer, per shuffle
+        # block; a tinyint costs 8. The op domain is the CDC contract
+        # {I, U, D} (null reads as U everywhere; the engine only ever
+        # distinguishes D vs non-D), so the decode normalizes any
+        # out-of-contract string to 'U' — behaviorally identical to how
+        # every read path already treats it.
+        unioned = unioned.withColumn(
+            self.op_col,
+            F.when(F.col(self.op_col) == "D", F.lit(0))
+            .when(F.col(self.op_col) == "I", F.lit(1))
+            .otherwise(F.lit(2))
+            .cast("tinyint"),
+        )
+
         # ONE sort-agg LWW over the union, whose own shuffle IS the bucket
         # layout: with spark.sql.shuffle.partitions pinned to n_buckets
         # (and AQE partition-coalescing off for this job), the aggregation
@@ -895,6 +911,13 @@ class SnapshotTable(LakeTable):
                 spark.conf.set("spark.sql.shuffle.partitions", str(self.n_buckets))
                 spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
             merged = lww_latest(unioned, self.key_cols, self.order_cols)
+            # decode op back to the stored string form (see encode above)
+            merged = merged.withColumn(
+                self.op_col,
+                F.when(F.col(self.op_col) == 0, F.lit("D"))
+                .when(F.col(self.op_col) == 1, F.lit("I"))
+                .otherwise(F.lit("U")),
+            )
             stored = merged.withColumn(_BUCKET, self._bucket_col(merged))
             obs = Observation()
             stored = stored.observe(

@@ -38,11 +38,33 @@ _ORD = "_lww_ord"
 
 
 def _ord_struct(df: DataFrame, keys: Sequence[str], order_cols: Sequence[str]) -> Column:
-    payload_cols = [c for c in df.columns if c not in keys]
+    # payload excludes the ordering columns: they already lead the struct
+    # (that's what makes its max the LWW winner), so carrying them again
+    # inside the payload would ship them TWICE through every exchange and
+    # map-side partial-agg buffer — at CDC scale the ordering tuple is a
+    # 40-char commit sha + a long, ~25% of the merge's shuffle bytes.
+    # ``_select_back`` reassembles the original column order on the way out.
+    payload_cols = [c for c in df.columns if c not in keys and c not in order_cols]
     return F.struct(
         *[F.col(c) for c in order_cols],
         F.struct(*[F.col(c) for c in payload_cols]).alias(_PAYLOAD),
     )
+
+
+def _select_back(df_columns: Sequence[str], keys: Sequence[str],
+                 order_cols: Sequence[str]) -> list[Column]:
+    """Projection restoring the input's column order from (keys, _ORD):
+    keys from the group key, ordering columns from the ord struct's top
+    level, everything else from its payload."""
+    sel: list[Column] = [F.col(k) for k in keys]
+    for c in df_columns:
+        if c in keys:
+            continue
+        if c in order_cols:
+            sel.append(F.col(f"{_ORD}.{c}").alias(c))
+        else:
+            sel.append(F.col(f"{_ORD}.{_PAYLOAD}.{c}").alias(c))
+    return sel
 
 
 def lww_latest(
@@ -57,6 +79,13 @@ def lww_latest(
     columns — struct comparison is lexicographic, so the max carries the
     winning row's payload. One shuffle on ``keys`` with map-side combine.
 
+    Ties: rows equal on ALL ``order_cols`` fall through to comparing the
+    payload struct (remaining columns in input order) — deterministic, but
+    an arbitrary total order. The ordering contract is that ``order_cols``
+    identify the logical change (the CDC model's (commit_seq, commit) does:
+    the sha content-addresses the change), so full ties only occur between
+    byte-identical events, where any winner is the same row.
+
     ``count_alias``: also emit the number of collapsed events per key in the
     same aggregation pass (free lineage — no second scan).
     """
@@ -65,8 +94,8 @@ def lww_latest(
     if count_alias:
         aggs.append(F.count("*").alias(count_alias))
     out = df.groupBy(*keys).agg(*aggs)
-    extra = [count_alias] if count_alias else []
-    return out.select(*keys, f"{_ORD}.{_PAYLOAD}.*", *extra)
+    extra = [F.col(count_alias)] if count_alias else []
+    return out.select(*_select_back(df.columns, keys, order_cols), *extra)
 
 
 def lww_window(df: DataFrame, keys: Sequence[str], order_cols: Sequence[str]) -> DataFrame:
@@ -101,7 +130,7 @@ def lww_latest_salted(
         .agg(F.max(ord1).alias(_ORD))
     )
     phase2 = phase1.groupBy(*keys).agg(F.max(_ORD).alias(_ORD))
-    return phase2.select(*keys, f"{_ORD}.{_PAYLOAD}.*")
+    return phase2.select(*_select_back(df.columns, keys, order_cols))
 
 
 def collapse_batch(

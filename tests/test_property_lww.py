@@ -40,10 +40,18 @@ event_st = st.fixed_dictionaries(
 @given(st.lists(event_st, min_size=1, max_size=60))
 def test_lww_replay_matches_oracle_random_logs(events):
     spark = _get_spark()
-    # commit = deterministic hash, as in the real log (also the seq tiebreak)
+    # commit = deterministic hash of the WHOLE logical change (op included),
+    # as in the real log where the sha identifies the change. This makes
+    # the (commit_seq, commit) ordering total up to identical events: two
+    # events may still fully tie, but then they are byte-identical and any
+    # winner yields the same row. Without op in the hash, the generator
+    # could produce an I and a D tying on (seq, commit) — a log no
+    # content-addressed source emits, and one where the oracle's
+    # stable-sort "input order" tiebreak is unmeetable by ANY distributed
+    # engine (input order does not exist across partitions).
     for e in events:
         e["commit"] = hashlib.sha1(
-            f"{e['repo']}|{e['path']}|{e['commit_seq']}|{e['content']}".encode()
+            f"{e['repo']}|{e['path']}|{e['commit_seq']}|{e['op']}|{e['content']}".encode()
         ).hexdigest()
     df = spark.createDataFrame(
         [(e["repo"], e["path"], e["commit_seq"], e["commit"], e["op"], e["content"]) for e in events],
