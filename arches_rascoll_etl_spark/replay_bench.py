@@ -18,6 +18,37 @@ import shutil
 import time
 
 
+def chained_sha(content_col, rounds: int):
+    """sha256 fold hashing ``rounds`` content-multiples in total: round 0
+    hashes repeat(content, n0), each later round hashes
+    (prev_hex_digest || repeat(content, n_i)), with the n_i summing to
+    ``rounds``. CPU grows linearly in ``rounds`` while the output stays one
+    64-char hex column, so downstream shuffle bytes are round-invariant —
+    the property the CPU-roofline scaling experiment depends on.
+
+    The fold depth is capped at 8 and the byte volume carried by
+    ``repeat`` instead: a rounds-deep sha2(concat(...)) nest overflows the
+    Catalyst analyzer's stack around depth ~100 (measured in this sandbox;
+    tree-recursive analysis), and even below that would stop fitting
+    whole-stage codegen's method-size budget. Depth 8 × repeat keeps the
+    expression tree tiny at any rounds."""
+    from pyspark.sql import functions as F
+
+    if rounds <= 1:
+        return F.sha2(content_col, 256)
+    depth = min(rounds, 8)
+    base, rem = divmod(rounds, depth)
+
+    def blob(i: int):
+        n = base + (1 if i < rem else 0)
+        return F.repeat(content_col, n) if n != 1 else content_col
+
+    sha = F.sha2(blob(0), 256)
+    for i in range(1, depth):
+        sha = F.sha2(F.concat(sha, blob(i)), 256)
+    return sha
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--cores", type=int, required=True)
@@ -26,6 +57,16 @@ def main() -> None:
     ap.add_argument("--out", required=True)
     ap.add_argument("--n-batches", type=int, default=4)
     ap.add_argument("--n-buckets", type=int, default=64)
+    ap.add_argument(
+        "--sha-rounds", type=int, default=1,
+        help="chained sha256 rounds over content in the normalize stage. "
+             "1 = the production plan. >1 raises the map stage's arithmetic "
+             "intensity WITHOUT changing a single shuffled byte (the fold "
+             "stays one 64-char column), moving the job's roofline from "
+             "DRAM bandwidth to CPU — the scaling-ceiling experiment: on "
+             "this one box DRAM does not multiply with cores, but on a real "
+             "N->4N cluster both do, so efficiency vs the CPU ceiling at "
+             "high rounds bounds what the PLAN (not the box) allows.")
     args = ap.parse_args()
 
     from pyspark.sql import functions as F
@@ -52,8 +93,11 @@ def main() -> None:
     def provider(b: int):
         # partition pruning on batch_id=<b> subdirectory
         df = events.where(F.col("batch_id") == b)
-        # normalize stage: content sha + deterministic row id (vectorized)
-        return df.withColumn("content_sha", F.sha2("content", 256)).withColumn(
+        # normalize stage: content sha + deterministic row id (vectorized);
+        # sha_rounds>1 = CPU-roofline experiment (see chained_sha)
+        return df.withColumn(
+            "content_sha", chained_sha(F.col("content"), args.sha_rounds)
+        ).withColumn(
             "row_key", F.sha2(F.concat_ws("|", "repo", "path"), 256)
         )
 
@@ -80,6 +124,7 @@ def main() -> None:
     out = {
         "cores": args.cores,
         "events": n_events,
+        "sha_rounds": args.sha_rounds,
         "batches": args.n_batches,
         "wall_sec": round(wall, 3),
         "events_per_sec": round(n_events / wall, 1),

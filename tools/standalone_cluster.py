@@ -147,7 +147,8 @@ class StandaloneCluster:
                     pass
 
     def submit_replay(self, zip_path: str, events: str, workdir: str,
-                      out: str, total_cores: int, timeout_s: float = 900.0) -> dict:
+                      out: str, total_cores: int, timeout_s: float = 900.0,
+                      sha_rounds: int = 1) -> dict:
         env = dict(os.environ,
                    PYSPARK_PYTHON=sys.executable,
                    PYSPARK_DRIVER_PYTHON=sys.executable)
@@ -163,6 +164,7 @@ class StandaloneCluster:
              "--cores", str(total_cores),
              "--events", events,
              "--workdir", workdir,
+             "--sha-rounds", str(sha_rounds),
              "--out", out],
             cwd=ROOT, check=True, timeout=timeout_s, env=env,
             stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
@@ -173,12 +175,22 @@ class StandaloneCluster:
 
 def run_standalone_scaling(events: str, workdir: str,
                            cores_per_worker: int = 4,
-                           run_timeout_s: float = 900.0) -> dict:
+                           run_timeout_s: float = 900.0,
+                           sha_rounds: int = 1) -> dict:
     """One validated lo/hi pair on a real standalone cluster:
     1 executor × C cores vs 4 executors × C cores, grant-probe-bracketed
-    (same validity rule as bench.py's local[k] pairs)."""
+    (same validity rule as bench.py's local[k] pairs).
+
+    ``sha_rounds > 1`` is the CPU-roofline experiment: the map stage's
+    arithmetic intensity rises linearly in rounds while shuffled bytes stay
+    identical, so the pair's binding ceiling moves from single-box DRAM
+    bandwidth (which does NOT multiply with cores on one box) to CPU (which
+    nearly does). Each pair also measures the host's CPU and bandwidth
+    ceilings at the SAME core ratio in the same window, so the result
+    carries efficiency-vs-applicable-ceiling, not just raw efficiency."""
     sys.path.insert(0, ROOT)
-    from bench import _PAIR_DRIFT_MAX, _grant_probe, _probe_drift  # noqa: E402
+    from bench import (_PAIR_DRIFT_MAX, _grant_probe, _probe_drift,  # noqa: E402
+                       calibrate_host_scaling)
 
     zip_path = _zip_engine()
     result: dict = {
@@ -186,6 +198,7 @@ def run_standalone_scaling(events: str, workdir: str,
         "cores_per_worker": cores_per_worker,
         "executors_lo": 1,
         "executors_hi": 4,
+        "sha_rounds": sha_rounds,
     }
     try:
         grants = [_grant_probe()]
@@ -200,6 +213,7 @@ def run_standalone_scaling(events: str, workdir: str,
                         zip_path, events, tbl_dir, out_json,
                         total_cores=n_workers * cores_per_worker,
                         timeout_s=run_timeout_s,
+                        sha_rounds=sha_rounds,
                     )
             except (subprocess.TimeoutExpired, subprocess.CalledProcessError,
                     TimeoutError) as e:
@@ -211,6 +225,20 @@ def run_standalone_scaling(events: str, workdir: str,
         lo, hi = levels["lo"], levels["hi"]
         drift = _probe_drift(grants)
         speedup = hi["events_per_sec"] / lo["events_per_sec"]
+        # same-window ceilings at the pair's own core ratio (4 vs 16):
+        # raw efficiency divides by the ideal 4x; eff-vs-ceiling divides by
+        # what THIS box could hand 4x the cores in THIS window.
+        total_lo = cores_per_worker
+        ceil = calibrate_host_scaling(n_lo=total_lo, n_hi=4 * total_lo,
+                                      seconds=2.0)
+        result.update({
+            "cpu_ceiling": ceil["cpu_ceiling_speedup"],
+            "bandwidth_ceiling": ceil["bandwidth_ceiling_speedup"],
+            "eff_vs_cpu_ceiling": round(
+                speedup / ceil["cpu_ceiling_speedup"], 3),
+            "eff_vs_bw_ceiling": round(
+                speedup / ceil["bandwidth_ceiling_speedup"], 3),
+        })
         result.update({
             "events": lo["events"],
             "lo_events_per_sec": lo["events_per_sec"],
@@ -247,7 +275,12 @@ def last_valid_from_history() -> dict | None:
     return valid[-1] if valid else None
 
 
-def valid_from_history() -> list[dict]:
+def valid_from_history(dense: bool | None = False) -> list[dict]:
+    """Valid windows from BENCH/standalone_history.jsonl.
+
+    ``dense=False`` (default): the production plan only (sha_rounds == 1) —
+    what every pre-existing caller means. ``dense=True``: CPU-roofline
+    windows only (sha_rounds > 1). ``dense=None``: all."""
     path = os.path.join(ROOT, "BENCH", "standalone_history.jsonl")
     if not os.path.exists(path):
         return []
@@ -256,7 +289,8 @@ def valid_from_history() -> list[dict]:
         for line in f:
             if line.strip():
                 rec = json.loads(line)
-                if rec.get("valid"):
+                is_dense = rec.get("sha_rounds", 1) > 1
+                if rec.get("valid") and (dense is None or is_dense == dense):
                     out.append(rec)
     return out
 
@@ -267,8 +301,11 @@ def main() -> None:
     ap.add_argument("--workdir", required=True)
     ap.add_argument("--out", required=True)
     ap.add_argument("--cores-per-worker", type=int, default=4)
+    ap.add_argument("--sha-rounds", type=int, default=1)
     args = ap.parse_args()
-    res = run_standalone_scaling(args.events, args.workdir, args.cores_per_worker)
+    res = run_standalone_scaling(args.events, args.workdir,
+                                 args.cores_per_worker,
+                                 sha_rounds=args.sha_rounds)
     append_history(res)
     with open(args.out, "w") as f:
         json.dump(res, f, indent=2)
