@@ -56,6 +56,16 @@ def aggregate_snapshot(
     )
 
 
+def _image_col(changes: DataFrame, side: str, name: str):
+    """Resolve column ``name`` of a change-stream image: payload columns
+    live inside the ``old``/``new`` structs, but the table's KEY columns
+    are top-level in ``read_changes`` output (keys can't differ between
+    the images — a key change is a delete+insert pair). Grouping or
+    summing on a key column must therefore read the top-level column."""
+    payload = {f.name for f in changes.schema[side].dataType.fields}
+    return F.col(side)[name] if name in payload else F.col(name)
+
+
 def agg_delta(
     changes: DataFrame, group_cols: Sequence[str], sum_cols: Sequence[str]
 ) -> DataFrame:
@@ -73,16 +83,16 @@ def agg_delta(
                     F.col("old").isNotNull(),
                     F.struct(
                         F.lit(-1).alias("_sign"),
-                        *[F.col("old")[c].alias(c) for c in group_cols],
-                        *[F.col("old")[c].alias(f"_v_{c}") for c in sum_cols],
+                        *[_image_col(changes, "old", c).alias(c) for c in group_cols],
+                        *[_image_col(changes, "old", c).alias(f"_v_{c}") for c in sum_cols],
                     ),
                 ),
                 F.when(
                     F.col("new").isNotNull(),
                     F.struct(
                         F.lit(1).alias("_sign"),
-                        *[F.col("new")[c].alias(c) for c in group_cols],
-                        *[F.col("new")[c].alias(f"_v_{c}") for c in sum_cols],
+                        *[_image_col(changes, "new", c).alias(c) for c in group_cols],
+                        *[_image_col(changes, "new", c).alias(f"_v_{c}") for c in sum_cols],
                     ),
                 ),
             )
@@ -161,11 +171,11 @@ def affected_groups(changes: DataFrame, group_cols: Sequence[str]) -> DataFrame:
             F.array(
                 F.when(
                     F.col("old").isNotNull(),
-                    F.struct(*[F.col("old")[c].alias(c) for c in group_cols]),
+                    F.struct(*[_image_col(changes, "old", c).alias(c) for c in group_cols]),
                 ),
                 F.when(
                     F.col("new").isNotNull(),
-                    F.struct(*[F.col("new")[c].alias(c) for c in group_cols]),
+                    F.struct(*[_image_col(changes, "new", c).alias(c) for c in group_cols]),
                 ),
             )
         ).alias("_g")

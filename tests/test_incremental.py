@@ -166,3 +166,31 @@ def test_minmax_delete_of_current_max_finds_runner_up(spark, tmp_table_dir):
     assert got == {
         r["lang"]: (r["n_rows"], r["min_size"], r["max_size"]) for r in want.collect()
     }
+
+
+def test_maintenance_grouped_on_key_column(spark, tmp_table_dir):
+    """Regression (r4): group columns that are TABLE KEY columns live
+    top-level in the change stream, not inside the old/new payload structs
+    — both the SUM delta fold and the MIN/MAX affected-group re-agg must
+    resolve them there instead of failing with FIELD_NOT_FOUND."""
+    tbl = SnapshotTable(spark, tmp_table_dir, n_buckets=8)
+    for b in range(2):
+        tbl.merge(batch_events(spark, CFG, b), batch_id=f"b{b}")
+    group, sums = ["repo"], ["commit_seq"]
+
+    prev = INC.aggregate_snapshot(tbl.read(version=0), group, sums)
+    nxt = INC.maintain_aggregate(tbl, prev, 0, 1, group, sums)
+    want = INC.aggregate_snapshot(tbl.read(version=1), group, sums)
+    key = lambda df: {  # noqa: E731
+        r["repo"]: (r["n_rows"], r["sum_commit_seq"]) for r in df.collect()
+    }
+    assert key(nxt) == key(want)
+
+    mprev = INC.minmax_snapshot(tbl.read(version=0), group, ["commit_seq"])
+    mnxt = INC.maintain_minmax(tbl, mprev, 0, 1, group, ["commit_seq"])
+    mwant = INC.minmax_snapshot(tbl.read(version=1), group, ["commit_seq"])
+    mkey = lambda df: {  # noqa: E731
+        r["repo"]: (r["n_rows"], r["min_commit_seq"], r["max_commit_seq"])
+        for r in df.collect()
+    }
+    assert mkey(mnxt) == mkey(mwant)
