@@ -341,20 +341,45 @@ def simhash_table(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         for g in range(16)
     ]
     votes = packed.groupBy("_id").agg(*aggs)
-    # fingerprint bit at combined-bit position p = g + 16*k (counter k of
-    # sum g), set ⟺ vote > 0 ⟺ 2*count > n. Branch-free: the sign bit of
-    # (2*count - n - 1) is 0 exactly when 2*count > n, so
-    # bit = shiftrightunsigned(2c - n - 1, 63) ^ 1, placed with shiftleft
-    # (p = 63 lands on the long's sign bit — the two's-complement packing).
-    # No WHEN chain: branchless bit math also evaluates ~2× faster.
+    # Fingerprint decision, SWAR again: bit at combined position p = g+16k
+    # (lane k of sum g) is set ⟺ 2*count > n ⟺ count ≥ floor(n/2)+1 =: t
+    # (the odd/even cases collapse because counts are integers). Compare
+    # several lanes of a sum AT ONCE with the classic packed-compare
+    # trick: both operands fit 15 bits (count ≤ 32767 via the token cap,
+    # t ≤ 16384), so with a per-lane guard bit set,
+    #   r = (s | 0x8000…8000) - t*0x0001…0001
+    # never borrows across lanes and leaves each lane's ≥-decision in its
+    # bit 15. ANSI wrinkle: lane 3's guard would be bit 63 — the long's
+    # SIGN bit — and the subtraction then signed-underflows (ANSI mode
+    # raises instead of wrapping). So lanes 0–2 use the packed compare on
+    # the low 48 bits (masked word ≤ 2^48, t*ones3 ≤ 2^44 ⇒ the signed
+    # subtraction can't overflow), and lane 3 compares its extracted
+    # 15-bit count alone with the same |0x8000 guard in a plain int range.
+    # shiftrightunsigned(r,15) & ones3 isolates the three low decisions at
+    # positions 0/16/32, lane 3's lands at 48, and "<< g" places them on
+    # g, g+16, g+32, g+48 — the 64-bit fingerprint assembles from 16
+    # twelve-op terms instead of 64 eight-op ones (r3's per-bit form; same
+    # semantics, ~3× less expression for Janino to compile — the compile
+    # dominated q33's cold wall). g=15's lane-3 shift parks on the long's
+    # sign bit, giving the two's-complement packing the oracle expects.
+    low48 = 0x0000FFFFFFFFFFFF
+    guard3 = 0x0000800080008000
+    ones3 = 0x0000000100010001
+    with_b = votes.withColumns(
+        {
+            "_t": F.expr("(_n div 2) + 1"),
+            "_bl": F.expr(f"((_n div 2) + 1) * {ones3}"),
+        }
+    )
     terms = [
-        "(shiftleft((shiftrightunsigned("
-        f"(shiftrightunsigned(_s{p % 16}, {16 * (p // 16)}) & 65535) * 2 - _n - 1,"
-        f" 63) ^ 1), {p}))"
-        for p in range(64)
+        "(shiftleft("
+        f"(shiftrightunsigned(((_s{g} & {low48}) | {guard3}) - _bl, 15) & {ones3})"
+        f" | shiftleft(shiftrightunsigned((shiftrightunsigned(_s{g}, 48) | 32768) - _t, 15) & 1, 48)"
+        f", {g}))"
+        for g in range(16)
     ]
     fp_sql = "(" + " | ".join(terms) + ") AS simhash"
-    return votes.select("_id", F.expr(fp_sql))
+    return with_b.select("_id", F.expr(fp_sql))
 
 
 def simhash_neardup_pairs(
