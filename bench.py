@@ -840,12 +840,20 @@ def _standalone_md(sa: dict | None) -> list[str]:
         north = ("MEETS the ≥0.8 north-rule bar against the ceiling this box"
                  " can physically grant" if med_eff >= 0.8 else
                  "below the ≥0.8 bar — see PROFILE.md for the residual")
+        n_over = sum(1 for w in dw if (w.get("eff_vs_cpu_ceiling") or 0.0) > 1.0)
         out += [
             "",
             f"* median eff-vs-cpu-ceiling **{med_eff}** (best"
             f" {best.get('eff_vs_cpu_ceiling')}, speedup"
             f" {best['speedup_lo_to_hi']}× against a"
             f" {best.get('cpu_ceiling')}× ceiling) — {north}.",
+        ] + ([
+            f"* {n_over} window(s) measured eff-vs-ceiling > 1.0 — impossible"
+            " against a correctly-measured ceiling, so those windows' short"
+            " ceiling probes under-measured a mid-window grant rise; they are"
+            " noise in the ceiling, never capability, and only the MEDIAN is"
+            " the headline.",
+        ] if n_over else []) + [
             "* Reading: when the box can hand the 4-executor level k× the",
             "  CPU, the plan delivers ≥0.8·k× more events/sec — the residual",
             "  in the STANDARD replay's raw number is the shared-DRAM box,",
