@@ -18,24 +18,42 @@ import shutil
 import time
 
 
-def chained_sha(content_col, rounds: int):
-    """sha256 fold hashing ``rounds`` content-multiples in total: round 0
-    hashes repeat(content, n0), each later round hashes
-    (prev_hex_digest || repeat(content, n_i)), with the n_i summing to
-    ``rounds``. CPU grows linearly in ``rounds`` while the output stays one
-    64-char hex column, so downstream shuffle bytes are round-invariant —
+def chained_sha(content_col, rounds: int, mode: str = "repeat"):
+    """sha256 work worth ``rounds`` content-hashes, output always one
+    64-char hex column so downstream shuffle bytes are round-invariant —
     the property the CPU-roofline scaling experiment depends on.
 
-    The fold depth is capped at 8 and the byte volume carried by
-    ``repeat`` instead: a rounds-deep sha2(concat(...)) nest overflows the
-    Catalyst analyzer's stack around depth ~100 (measured in this sandbox;
-    tree-recursive analysis), and even below that would stop fitting
-    whole-stage codegen's method-size budget. Depth 8 × repeat keeps the
-    expression tree tiny at any rounds."""
+    ``mode="repeat"``: round 0 hashes repeat(content, n0), each later
+    round hashes (prev_hex_digest || repeat(content, n_i)), the n_i
+    summing to ``rounds``. Fold depth is capped at 8 and the byte volume
+    carried by ``repeat`` — a rounds-deep sha2(concat(...)) nest overflows
+    the Catalyst analyzer's stack around depth ~100 (measured; tree-
+    recursive analysis) and would bust whole-stage codegen's method-size
+    budget anyway. CAVEAT found in round 4: per hashed byte this also
+    COPIES a byte (the repeat buffer — ~60 KB per blob at rounds=8000), so
+    at 16 cores the variant demands ~8+ GB/s of allocation+memcpy and is
+    still partly DRAM-bound on one box; it under-states plan scaling when
+    the box's bandwidth grant is poor.
+
+    ``mode="fold"``: a true compute-per-byte workload —
+    aggregate(sequence(1, rounds), sha2(content), (acc, _) -> sha2(acc)):
+    ``rounds`` dependent sha256 invocations over a 64-byte digest. The
+    loop is RUNTIME iteration inside one higher-order-function expression
+    (tree depth constant in rounds), the working set is one digest (stays
+    in L1), and per-round allocation is a nursery-lifetime 64-char string
+    — the same resource profile as the multiprocess-sha256 probe that
+    defines the host CPU ceiling, which is what makes efficiency-vs-
+    ceiling a like-for-like comparison."""
     from pyspark.sql import functions as F
 
     if rounds <= 1:
         return F.sha2(content_col, 256)
+    if mode == "fold":
+        return F.aggregate(
+            F.sequence(F.lit(1), F.lit(int(rounds))),
+            F.sha2(content_col, 256),
+            lambda acc, _: F.sha2(acc, 256),
+        )
     depth = min(rounds, 8)
     base, rem = divmod(rounds, depth)
 
@@ -67,6 +85,12 @@ def main() -> None:
              "this one box DRAM does not multiply with cores, but on a real "
              "N->4N cluster both do, so efficiency vs the CPU ceiling at "
              "high rounds bounds what the PLAN (not the box) allows.")
+    ap.add_argument(
+        "--sha-mode", choices=("repeat", "fold"), default="repeat",
+        help="dense-variant shape (see chained_sha): repeat = byte-volume "
+             "dense (carries a memcpy per hashed byte), fold = true "
+             "compute-per-byte dense (L1-resident digest chain, matches "
+             "the CPU-ceiling probe's resource profile)")
     args = ap.parse_args()
 
     from pyspark.sql import functions as F
@@ -83,6 +107,25 @@ def main() -> None:
     )
     spark.sparkContext.setLogLevel("ERROR")
 
+    if args.sha_rounds > 1:
+        # CPU-dense scan stages must be split for COMPUTE, not bytes.
+        # Spark sizes file splits by maxPartitionBytes/openCost — correct
+        # when cost ∝ bytes, but rounds>1 multiplies per-byte work ~rounds×,
+        # so the default 128 MB/4 MB packing hands a 16-core level as few
+        # as 4 scan tasks over a small-events input (zero scheduling slack;
+        # one straggler halves the stage). Size splits so each batch's scan
+        # yields ≥ 3 task waves per core — the same knob a 100-TB job turns
+        # when a Pandas-UDF/feature-extract stage dominates per-byte cost.
+        total_b = sum(
+            os.path.getsize(os.path.join(dp, fn))
+            for dp, _dns, fns in os.walk(args.events)
+            for fn in fns
+            if fn.endswith(".parquet")
+        )
+        split = max(131072, total_b // args.n_batches // (args.cores * 3))
+        spark.conf.set("spark.sql.files.maxPartitionBytes", str(split))
+        spark.conf.set("spark.sql.files.openCostInBytes", "131072")
+
     events = spark.read.parquet(args.events)
     n_events = events.count()
 
@@ -96,7 +139,7 @@ def main() -> None:
         # normalize stage: content sha + deterministic row id (vectorized);
         # sha_rounds>1 = CPU-roofline experiment (see chained_sha)
         return df.withColumn(
-            "content_sha", chained_sha(F.col("content"), args.sha_rounds)
+            "content_sha", chained_sha(F.col("content"), args.sha_rounds, args.sha_mode)
         ).withColumn(
             "row_key", F.sha2(F.concat_ws("|", "repo", "path"), 256)
         )
@@ -117,6 +160,21 @@ def main() -> None:
         warm.merge(provider(b).limit(512), batch_id=f"warm-{b}")
     shutil.rmtree(os.path.join(args.workdir, "warm_tbl"), ignore_errors=True)
 
+    if args.sha_rounds > 1:
+        # warm the MAP-stage codegen/JIT on EVERY executor: the 512-row
+        # warm merges collapse to ~1 scan task (limit pushdown), so on a
+        # 4-executor level up to 3 executors would C2-compile the sha
+        # chain inside the first TIMED batch. cores*8 single-row range
+        # partitions round-robin across all executors.
+        n = args.cores * 8
+        spark.range(0, n, 1, n).select(
+            chained_sha(
+                F.concat(F.lit("warm"), F.col("id").cast("string")),
+                min(args.sha_rounds, 256),
+                args.sha_mode,
+            ).alias("s")
+        ).agg(F.count("s")).collect()
+
     t0 = time.time()
     res = replay(tbl, ckpt, provider, range(args.n_batches), collect_partition_lineage=False)
     wall = time.time() - t0
@@ -125,6 +183,7 @@ def main() -> None:
         "cores": args.cores,
         "events": n_events,
         "sha_rounds": args.sha_rounds,
+        "sha_mode": args.sha_mode,
         "batches": args.n_batches,
         "wall_sec": round(wall, 3),
         "events_per_sec": round(n_events / wall, 1),

@@ -827,11 +827,13 @@ def _standalone_md(sa: dict | None) -> list[str]:
             "full content per round — shuffle bytes unchanged) until CPU",
             "governs, then compare against the same-window CPU ceiling:",
             "",
-            "| rounds | lo ev/s | hi ev/s | speedup | cpu ceiling | eff vs cpu ceiling | drift |",
-            "|---|---|---|---|---|---|---|",
+            "| mode | rounds | events | lo ev/s | hi ev/s | speedup | cpu ceiling | eff vs cpu ceiling | drift |",
+            "|---|---|---|---|---|---|---|---|---|",
         ]
         out += [
-            f"| {w.get('sha_rounds')} | {w['lo_events_per_sec']} |"
+            f"| {w.get('sha_mode', 'repeat')} |"
+            f" {w.get('sha_rounds')} | {w.get('events', '—')} |"
+            f" {w['lo_events_per_sec']} |"
             f" {w['hi_events_per_sec']} | {w['speedup_lo_to_hi']}× |"
             f" {w.get('cpu_ceiling', '—')}× |"
             f" {w.get('eff_vs_cpu_ceiling', '—')} | {w['grant_drift']}× |"
@@ -843,11 +845,32 @@ def _standalone_md(sa: dict | None) -> list[str]:
         n_over = sum(1 for w in dw if (w.get("eff_vs_cpu_ceiling") or 0.0) > 1.0)
         out += [
             "",
-            f"* median eff-vs-cpu-ceiling **{med_eff}** (best"
+            f"* median eff-vs-cpu-ceiling across ALL {len(dw)} valid dense"
+            f" windows **{med_eff}** (best"
             f" {best.get('eff_vs_cpu_ceiling')}, speedup"
             f" {best['speedup_lo_to_hi']}× against a"
             f" {best.get('cpu_ceiling')}× ceiling) — {north}.",
-        ] + ([
+        ]
+        # per-cohort medians: (rounds, events) sets the map stage's
+        # arithmetic intensity, so cohorts are different experiments —
+        # lower-intensity windows still carry a DRAM component and dilute
+        # the pooled figure when the box's bandwidth grant is poor.
+        cohorts: dict[tuple, list[float]] = {}
+        for w in dw:
+            key = (w.get("sha_mode", "repeat"), w.get("sha_rounds"), w.get("events"))
+            cohorts.setdefault(key, []).append(w.get("eff_vs_cpu_ceiling") or 0.0)
+        if len(cohorts) > 1:
+            for (mode, rounds, events), ce in sorted(cohorts.items()):
+                ces = sorted(ce)
+                out += [
+                    f"* cohort mode={mode}, rounds={rounds}, events={events}:"
+                    f" {len(ces)} valid window(s), median eff-vs-cpu-ceiling"
+                    f" **{ces[len(ces) // 2]}** — fold mode / higher rounds ="
+                    " higher compute per byte = less residual DRAM"
+                    " sensitivity (repeat mode still copies a byte per"
+                    " hashed byte; see replay_bench.chained_sha).",
+                ]
+        out += ([
             f"* {n_over} window(s) measured eff-vs-ceiling > 1.0 — impossible"
             " against a correctly-measured ceiling, so those windows' short"
             " ceiling probes under-measured a mid-window grant rise; they are"

@@ -35,6 +35,7 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--events", type=int, default=8_000_000)
     ap.add_argument("--sha-rounds", type=int, default=1)
+    ap.add_argument("--sha-mode", choices=("repeat", "fold"), default="repeat")
     ap.add_argument("--target-valid", type=int, default=1)
     ap.add_argument("--deadline-min", type=float, default=90.0)
     ap.add_argument("--cores-per-worker", type=int, default=4)
@@ -73,7 +74,8 @@ def main() -> None:
         try:
             res = run_standalone_scaling(
                 events_path, tmp, cores_per_worker=args.cores_per_worker,
-                sha_rounds=args.sha_rounds)
+                sha_rounds=args.sha_rounds,
+                sha_mode=args.sha_mode)
         finally:
             shutil.rmtree(tmp, ignore_errors=True)
         append_history(res)
@@ -82,6 +84,7 @@ def main() -> None:
         log({
             "event": "sa_pair", "attempt": attempt, "valid": ok,
             "sha_rounds": args.sha_rounds,
+            "sha_mode": args.sha_mode,
             "speedup": res.get("speedup_lo_to_hi"),
             "eff_vs_cpu_ceiling": res.get("eff_vs_cpu_ceiling"),
             "cpu_ceiling": res.get("cpu_ceiling"),

@@ -38,6 +38,60 @@ SPARK_CLASS = os.path.join(SPARK_HOME, "bin", "spark-class")
 SPARK_SUBMIT = os.path.join(SPARK_HOME, "bin", "spark-submit")
 
 
+def sweep_stale_clusters() -> int:
+    """Kill orphaned master/worker/replay-submit processes from a previous
+    run whose parent died without __exit__ (crashed session, external
+    kill -9 of a hunt). A stale cluster with an in-flight replay silently
+    burns CPU for hours and depresses every subsequent measurement on the
+    box — round 4 found one that had contaminated a whole bench window.
+    Returns the number of processes killed."""
+    import signal
+
+    pats = (
+        "org.apache.spark.deploy.master.Master",
+        "org.apache.spark.deploy.worker.Worker",
+        "org.apache.spark.deploy.SparkSubmit",
+        "replay_submit_main.py",
+    )
+    killed = 0
+    me = os.getpid()
+
+    def _is_descendant_of_me(pid: int) -> bool:
+        # never kill our own tree: a live pyspark session in THIS process
+        # (or the hunt wrapper that called us) also shows as SparkSubmit
+        for _ in range(64):
+            if pid in (0, 1):
+                return False
+            if pid == me:
+                return True
+            try:
+                with open(f"/proc/{pid}/stat") as f:
+                    pid = int(f.read().rsplit(")", 1)[1].split()[1])
+            except (OSError, ValueError, IndexError):
+                return False
+        return False
+
+    for pat in pats:
+        try:
+            out = subprocess.run(
+                ["pgrep", "-f", pat], capture_output=True, text=True
+            ).stdout
+        except OSError:
+            return killed
+        for pid_s in out.split():
+            pid = int(pid_s)
+            if pid == me or _is_descendant_of_me(pid):
+                continue
+            try:
+                os.kill(pid, signal.SIGKILL)
+                killed += 1
+            except (ProcessLookupError, PermissionError):
+                pass
+    if killed:
+        time.sleep(2)  # let the scheduler reclaim the cores before probing
+    return killed
+
+
 def _free_port() -> int:
     with socket.socket() as s:
         s.bind(("127.0.0.1", 0))
@@ -148,7 +202,7 @@ class StandaloneCluster:
 
     def submit_replay(self, zip_path: str, events: str, workdir: str,
                       out: str, total_cores: int, timeout_s: float = 900.0,
-                      sha_rounds: int = 1) -> dict:
+                      sha_rounds: int = 1, sha_mode: str = "repeat") -> dict:
         env = dict(os.environ,
                    PYSPARK_PYTHON=sys.executable,
                    PYSPARK_DRIVER_PYTHON=sys.executable)
@@ -165,6 +219,7 @@ class StandaloneCluster:
              "--events", events,
              "--workdir", workdir,
              "--sha-rounds", str(sha_rounds),
+             "--sha-mode", sha_mode,
              "--out", out],
             cwd=ROOT, check=True, timeout=timeout_s, env=env,
             stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
@@ -176,7 +231,7 @@ class StandaloneCluster:
 def run_standalone_scaling(events: str, workdir: str,
                            cores_per_worker: int = 4,
                            run_timeout_s: float = 900.0,
-                           sha_rounds: int = 1) -> dict:
+                           sha_rounds: int = 1, sha_mode: str = "repeat") -> dict:
     """One validated lo/hi pair on a real standalone cluster:
     1 executor × C cores vs 4 executors × C cores, grant-probe-bracketed
     (same validity rule as bench.py's local[k] pairs).
@@ -192,6 +247,9 @@ def run_standalone_scaling(events: str, workdir: str,
     from bench import (_PAIR_DRIFT_MAX, _grant_probe, _probe_drift,  # noqa: E402
                        calibrate_host_scaling)
 
+    swept = sweep_stale_clusters()
+    if swept:
+        print(f"[standalone] swept {swept} stale cluster process(es)", flush=True)
     zip_path = _zip_engine()
     result: dict = {
         "mode": "standalone",
@@ -199,6 +257,7 @@ def run_standalone_scaling(events: str, workdir: str,
         "executors_lo": 1,
         "executors_hi": 4,
         "sha_rounds": sha_rounds,
+        "sha_mode": sha_mode,
     }
     try:
         grants = [_grant_probe()]
@@ -214,6 +273,7 @@ def run_standalone_scaling(events: str, workdir: str,
                         total_cores=n_workers * cores_per_worker,
                         timeout_s=run_timeout_s,
                         sha_rounds=sha_rounds,
+                        sha_mode=sha_mode,
                     )
             except (subprocess.TimeoutExpired, subprocess.CalledProcessError,
                     TimeoutError) as e:
@@ -302,10 +362,12 @@ def main() -> None:
     ap.add_argument("--out", required=True)
     ap.add_argument("--cores-per-worker", type=int, default=4)
     ap.add_argument("--sha-rounds", type=int, default=1)
+    ap.add_argument("--sha-mode", choices=("repeat", "fold"), default="repeat")
     args = ap.parse_args()
     res = run_standalone_scaling(args.events, args.workdir,
                                  args.cores_per_worker,
-                                 sha_rounds=args.sha_rounds)
+                                 sha_rounds=args.sha_rounds,
+                                 sha_mode=args.sha_mode)
     append_history(res)
     with open(args.out, "w") as f:
         json.dump(res, f, indent=2)
