@@ -92,6 +92,51 @@ def sweep_stale_clusters() -> int:
     return killed
 
 
+class LiveGrantMonitor:
+    """Continuous host-grant signal DURING a run, on the axis that defines
+    the CPU ceiling (sha256 throughput of one thread, ~1/32 of the box).
+
+    The bracket probes around a pair bound slow grant *drift*, but a
+    hypervisor burst in the middle of one 60–100 s run is invisible to
+    them — round 4 measured valid-bracket fold windows spanning
+    eff-vs-ceiling 0.35…1.0, i.e. the bracket rule alone lets through
+    pairs whose lo and hi runs executed on effectively different machines.
+    One monitor thread hashes a 64 KiB L1/L2-resident buffer in ~50 ms
+    slices for the whole run; the per-run mean rate is the run's own
+    grant. Pair validity then also requires lo/hi live-grant agreement."""
+
+    def __init__(self):
+        import threading
+
+        self._rates: list[float] = []
+        self._stop = threading.Event()
+        self._t = threading.Thread(target=self._loop, daemon=True)
+
+    def _loop(self):
+        import hashlib
+
+        buf = b"\x5a" * 65536
+        while not self._stop.is_set():
+            t0 = time.perf_counter()
+            n = 0
+            while time.perf_counter() - t0 < 0.05:
+                hashlib.sha256(buf).digest()
+                n += 1
+            self._rates.append(n / (time.perf_counter() - t0))
+            time.sleep(0.45)  # ~10% duty cycle of one vCPU: signal, not load
+
+    def __enter__(self):
+        self._t.start()
+        return self
+
+    def __exit__(self, *exc):
+        self._stop.set()
+        self._t.join(timeout=2)
+
+    def mean_rate(self) -> float | None:
+        return round(sum(self._rates) / len(self._rates), 1) if self._rates else None
+
+
 def _free_port() -> int:
     with socket.socket() as s:
         s.bind(("127.0.0.1", 0))
@@ -268,13 +313,15 @@ def run_standalone_scaling(events: str, workdir: str,
             out_json = os.path.join(workdir, f"replay_{label}.json")
             try:
                 with StandaloneCluster(n_workers, cores_per_worker, croot) as c:
-                    levels[label] = c.submit_replay(
-                        zip_path, events, tbl_dir, out_json,
-                        total_cores=n_workers * cores_per_worker,
-                        timeout_s=run_timeout_s,
-                        sha_rounds=sha_rounds,
-                        sha_mode=sha_mode,
-                    )
+                    with LiveGrantMonitor() as mon:
+                        levels[label] = c.submit_replay(
+                            zip_path, events, tbl_dir, out_json,
+                            total_cores=n_workers * cores_per_worker,
+                            timeout_s=run_timeout_s,
+                            sha_rounds=sha_rounds,
+                            sha_mode=sha_mode,
+                        )
+                    levels[label]["live_grant"] = mon.mean_rate()
             except (subprocess.TimeoutExpired, subprocess.CalledProcessError,
                     TimeoutError) as e:
                 result["failed"] = f"{label}: {type(e).__name__}"
@@ -284,20 +331,38 @@ def run_standalone_scaling(events: str, workdir: str,
             grants.append(_grant_probe())
         lo, hi = levels["lo"], levels["hi"]
         drift = _probe_drift(grants)
+        lg_lo, lg_hi = lo.get("live_grant"), hi.get("live_grant")
+        live_drift = (
+            round(max(lg_lo, lg_hi) / min(lg_lo, lg_hi), 2)
+            if lg_lo and lg_hi else None
+        )
         speedup = hi["events_per_sec"] / lo["events_per_sec"]
         # same-window ceilings at the pair's own core ratio (4 vs 16):
         # raw efficiency divides by the ideal 4x; eff-vs-ceiling divides by
-        # what THIS box could hand 4x the cores in THIS window.
+        # what THIS box could hand 4x the cores in THIS window. One
+        # 2-second calibration snapshot was ±20% noisy against a 90-s pair
+        # (observed "ceilings" 3.4…4.7 for the same 4x core ratio), so take
+        # the per-metric MEDIAN of 3 calibrations, and cap the CPU ceiling
+        # at the core ratio — a super-linear multiprocess-sha "ceiling" is
+        # by definition a burst that depressed the calibration's lo leg.
         total_lo = cores_per_worker
-        ceil = calibrate_host_scaling(n_lo=total_lo, n_hi=4 * total_lo,
-                                      seconds=2.0)
+        ratio = 4.0
+        cals = [
+            calibrate_host_scaling(n_lo=total_lo, n_hi=4 * total_lo,
+                                   seconds=2.0)
+            for _ in range(3)
+        ]
+        def _med3(key: str) -> float:
+            return sorted(c[key] for c in cals)[1]
+        cpu_ceil_raw = _med3("cpu_ceiling_speedup")
+        cpu_ceil = min(cpu_ceil_raw, ratio)
+        bw_ceil = _med3("bandwidth_ceiling_speedup")
         result.update({
-            "cpu_ceiling": ceil["cpu_ceiling_speedup"],
-            "bandwidth_ceiling": ceil["bandwidth_ceiling_speedup"],
-            "eff_vs_cpu_ceiling": round(
-                speedup / ceil["cpu_ceiling_speedup"], 3),
-            "eff_vs_bw_ceiling": round(
-                speedup / ceil["bandwidth_ceiling_speedup"], 3),
+            "cpu_ceiling": cpu_ceil,
+            "cpu_ceiling_raw": cpu_ceil_raw,
+            "bandwidth_ceiling": bw_ceil,
+            "eff_vs_cpu_ceiling": round(speedup / cpu_ceil, 3),
+            "eff_vs_bw_ceiling": round(speedup / bw_ceil, 3),
         })
         result.update({
             "events": lo["events"],
@@ -308,9 +373,18 @@ def run_standalone_scaling(events: str, workdir: str,
             "speedup_lo_to_hi": round(speedup, 3),
             "scaling_efficiency_raw": round(speedup / 4, 3),
             "grant_drift": round(drift, 2),
-            # same validity band as bench.py: a 4x-executor run that is not
-            # FASTER is host movement or an under-sized workload, not evidence
-            "valid": bool(drift <= _PAIR_DRIFT_MAX and 1.0 < speedup < 4.4),
+            "live_grant_lo": lg_lo,
+            "live_grant_hi": lg_hi,
+            "live_grant_drift": live_drift,
+            # same validity band as bench.py (bracket drift + sane speedup)
+            # PLUS live-grant agreement: the in-run monitor must show the lo
+            # and hi runs executed under comparable host grants — bracket
+            # probes alone admit pairs split by a mid-run hypervisor burst
+            "valid": bool(
+                drift <= _PAIR_DRIFT_MAX
+                and 1.0 < speedup < 4.4
+                and (live_drift is None or live_drift <= 1.3)
+            ),
         })
         return result
     finally:
