@@ -744,7 +744,34 @@ class SnapshotTable(LakeTable):
             raise
         return version
 
-    def merge(self, batch: DataFrame, batch_id: str, summary: dict | None = None) -> MergeStats:
+    def key_stats(self, batch: DataFrame) -> list | None:
+        """Merge's job 1 (per-bucket event counts from key columns cast to
+        the STORED key dtypes), runnable AHEAD of the merge — e.g. a replay
+        driver overlaps batch b+1's stats job with batch b's apply job,
+        removing the per-batch driver-serial stats floor from the ingest
+        cadence. Safe to precompute because stored key dtypes are immutable
+        (``_merge_schemas`` refuses key widening — bucket-hash safety), so
+        no merge that commits in between can invalidate the cast targets.
+        Returns None when the table does not exist yet (the first merge
+        may CREATE it with the batch's own key dtypes — only that merge
+        knows which dtypes it will store)."""
+        if not self.exists():
+            return None
+        stored = T.StructType.fromJson(
+            self._load_manifest(self._current_version())["schema"]
+        )
+        keys_cast = batch.select(
+            *[F.col(k).cast(stored[k].dataType).alias(k) for k in self.key_cols]
+        )
+        return (
+            keys_cast
+            .groupBy(self._bucket_col(keys_cast).alias(_BUCKET))
+            .agg(F.count("*").alias("n_events"))
+            .collect()
+        )
+
+    def merge(self, batch: DataFrame, batch_id: str, summary: dict | None = None,
+              precomputed_stats: list | None = None) -> MergeStats:
         """Apply one change batch. Two Spark jobs, no caching barrier:
 
         1. *Stats job* (cheap): per-bucket event counts computed from the
@@ -788,17 +815,23 @@ class SnapshotTable(LakeTable):
             new_schema = batch_schema
 
         # ---- job 1: affected buckets + rows_in, key columns only,
-        #      keys cast to the merged (== stored) dtypes ----
+        #      keys cast to the merged (== stored) dtypes. A caller that
+        #      already ran key_stats() for this exact batch (replay's
+        #      stats-prefetch overlap) hands the rows in; the cast targets
+        #      are identical because stored key dtypes never change. ----
         t_stats = time.time()
-        keys_cast = batch.select(
-            *[F.col(k).cast(new_schema[k].dataType).alias(k) for k in self.key_cols]
-        )
-        bucket_rows = (
-            keys_cast
-            .groupBy(self._bucket_col(keys_cast).alias(_BUCKET))
-            .agg(F.count("*").alias("n_events"))
-            .collect()
-        )
+        if precomputed_stats is not None:
+            bucket_rows = precomputed_stats
+        else:
+            keys_cast = batch.select(
+                *[F.col(k).cast(new_schema[k].dataType).alias(k) for k in self.key_cols]
+            )
+            bucket_rows = (
+                keys_cast
+                .groupBy(self._bucket_col(keys_cast).alias(_BUCKET))
+                .agg(F.count("*").alias("n_events"))
+                .collect()
+            )
         stats_ms = (time.time() - t_stats) * 1000
         rows_in = int(sum(r["n_events"] for r in bucket_rows))
         affected = sorted(int(r[_BUCKET]) for r in bucket_rows)

@@ -175,11 +175,39 @@ def main() -> None:
             ).alias("s")
         ).agg(F.count("s")).collect()
 
+    def _cpu_snap() -> list[int] | None:
+        # VM-scoped /proc/stat jiffies (user nice system idle iowait irq
+        # softirq steal). Snapped around EXACTLY the timed section so JVM
+        # startup/codegen is excluded; with the box otherwise idle, the
+        # busy delta is the replay's own delivered CPU — the denominator
+        # of the per-window eff-vs-delivered-CPU scaling metric.
+        try:
+            with open("/proc/stat") as f:
+                return list(map(int, f.readline().split()[1:9]))
+        except (OSError, ValueError):
+            return None
+
+    s0 = _cpu_snap()
     t0 = time.time()
     res = replay(tbl, ckpt, provider, range(args.n_batches), collect_partition_lineage=False)
     wall = time.time() - t0
+    s1 = _cpu_snap()
+
+    cpu: dict = {}
+    if s0 and s1:
+        hz = os.sysconf("SC_CLK_TCK")
+        busy = sum(s1[i] - s0[i] for i in (0, 1, 2, 5, 6)) / hz
+        steal = (s1[7] - s0[7]) / hz
+        cpu = {
+            "busy_cpu_sec": round(busy, 1),
+            "steal_cpu_sec": round(steal, 1),
+            "busy_cores": round(busy / wall, 2),
+            "steal_cores": round(steal / wall, 2),
+            "events_per_cpu_sec": round(n_events / max(busy, 1e-6), 1),
+        }
 
     out = {
+        **cpu,
         "cores": args.cores,
         "events": n_events,
         "sha_rounds": args.sha_rounds,

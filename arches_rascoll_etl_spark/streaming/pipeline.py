@@ -33,18 +33,22 @@ class InjectedFailure(RuntimeError):
     """Raised by tests to simulate a mid-replay crash."""
 
 
-def _merge_with_retry(table: LakeTable, df: DataFrame, bid: str, attempts: int = 3):
+def _merge_with_retry(table: LakeTable, df: DataFrame, bid: str, attempts: int = 3,
+                      precomputed_stats: list | None = None):
     """Apply one batch, retrying on optimistic-concurrency conflicts.
 
     A CommitConflictError means another writer claimed our snapshot version
     first; the merge is simply redone against the new head — safe because
     application is idempotent on batch id (if the *other* writer applied
-    this very batch, the redo is a no-op skip)."""
+    this very batch, the redo is a no-op skip). Precomputed key stats stay
+    valid across retries: they depend only on the batch and the stored key
+    dtypes, which no concurrent commit can change."""
     from ..lake.parquet_snapshot import CommitConflictError
 
+    kw = {"precomputed_stats": precomputed_stats} if precomputed_stats is not None else {}
     for attempt in range(attempts):
         try:
-            return table.merge(df, batch_id=bid)
+            return table.merge(df, batch_id=bid, **kw)
         except CommitConflictError:
             if attempt == attempts - 1:
                 raise
@@ -73,41 +77,89 @@ def replay(
     collect_partition_lineage: bool = True,
     fail_before_merge: int | None = None,
     fail_before_checkpoint: int | None = None,
+    prefetch_stats: bool = True,
 ) -> ReplayResult:
     """Apply each batch exactly once, resumable from the checkpoint.
 
     ``fail_before_merge=k`` / ``fail_before_checkpoint=k`` inject a crash
     for kill/resume tests — before the lake commit of batch k, or after the
     lake commit but before the checkpoint record (the dangerous window).
+
+    ``prefetch_stats`` overlaps batch b+1's stats job (merge phase 1 —
+    per-bucket counts on key columns, a driver-blocking collect) with batch
+    b's apply job in a second driver thread. The stats job depends only on
+    the batch and the table's IMMUTABLE stored key dtypes (key widening is
+    refused), never on the data batch b writes, so the overlap cannot
+    change any result — it removes a driver-serial floor from the ingest
+    cadence (at a 1000-executor cadence every serial driver phase between
+    batches is idle cluster time). Applies to tables exposing
+    ``key_stats`` (SnapshotTable); others run the stats inline as before.
     """
+    from concurrent.futures import ThreadPoolExecutor
+
     res = ReplayResult()
     t_start = time.time()
     applied_ckpt = checkpoint.applied_batch_ids()
-    for b in batch_ids:
-        bid = str(b)
-        if bid in applied_ckpt:
-            res.skipped.append(bid)
-            continue
-        df = batch_provider(b)
-        if fail_before_merge == b:
-            raise InjectedFailure(f"before merge of batch {bid}")
-        t0 = time.time()
-        stats = _merge_with_retry(table, df, bid)
-        if fail_before_checkpoint == b:
-            raise InjectedFailure(f"after merge, before checkpoint of batch {bid}")
-        part_lineage = (
-            partition_lineage(df) if (collect_partition_lineage and stats.applied) else []
-        )
-        rec = batch_record(bid, stats.as_dict(), part_lineage, t0)
-        if lineage is not None:
-            lineage.append(rec)
-        checkpoint.record(bid, stats.snapshot_version, rec)
-        if stats.applied:
-            res.applied.append(bid)
-            res.events += stats.rows_in
-            res.stats.append(stats)
-        else:
-            res.skipped.append(bid)
+    batches = list(batch_ids)
+    pool = (
+        ThreadPoolExecutor(max_workers=1, thread_name_prefix="stats-prefetch")
+        if prefetch_stats and hasattr(table, "key_stats")
+        else None
+    )
+    dfs: dict[int, DataFrame] = {}
+    futs: dict[int, object] = {}
+
+    def _submit_stats(nb) -> None:
+        if pool is None or nb in futs:
+            return
+        ndf = dfs.setdefault(nb, batch_provider(nb))
+        # key_stats itself returns None when the table does not exist yet
+        # (its dtypes are only decided by the creating merge)
+        futs[nb] = pool.submit(table.key_stats, ndf)
+
+    try:
+        for i, b in enumerate(batches):
+            bid = str(b)
+            if bid in applied_ckpt:
+                res.skipped.append(bid)
+                continue
+            df = dfs.pop(b, None)
+            if df is None:
+                df = batch_provider(b)
+            if fail_before_merge == b:
+                raise InjectedFailure(f"before merge of batch {bid}")
+            nxt = next(
+                (x for x in batches[i + 1:] if str(x) not in applied_ckpt), None
+            )
+            if nxt is not None:
+                _submit_stats(nxt)
+            pre = None
+            fut = futs.pop(b, None)
+            if fut is not None:
+                try:
+                    pre = fut.result()
+                except Exception:  # noqa: BLE001 — prefetch is an optimization only
+                    pre = None
+            t0 = time.time()
+            stats = _merge_with_retry(table, df, bid, precomputed_stats=pre)
+            if fail_before_checkpoint == b:
+                raise InjectedFailure(f"after merge, before checkpoint of batch {bid}")
+            part_lineage = (
+                partition_lineage(df) if (collect_partition_lineage and stats.applied) else []
+            )
+            rec = batch_record(bid, stats.as_dict(), part_lineage, t0)
+            if lineage is not None:
+                lineage.append(rec)
+            checkpoint.record(bid, stats.snapshot_version, rec)
+            if stats.applied:
+                res.applied.append(bid)
+                res.events += stats.rows_in
+                res.stats.append(stats)
+            else:
+                res.skipped.append(bid)
+    finally:
+        if pool is not None:
+            pool.shutdown(wait=False, cancel_futures=True)
     res.wall_sec = time.time() - t_start
     return res
 

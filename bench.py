@@ -839,8 +839,8 @@ def _standalone_md(sa: dict | None) -> list[str]:
             "full content per round — shuffle bytes unchanged) until CPU",
             "governs, then compare against the same-window CPU ceiling:",
             "",
-            "| mode | rounds | events | lo ev/s | hi ev/s | speedup | cpu ceiling | eff vs cpu ceiling | drift |",
-            "|---|---|---|---|---|---|---|---|---|",
+            "| mode | rounds | events | lo ev/s | hi ev/s | speedup | cpu ceiling | eff vs cpu ceiling | cores lo→hi | eff vs delivered CPU | drift |",
+            "|---|---|---|---|---|---|---|---|---|---|---|",
         ]
         out += [
             f"| {w.get('sha_mode', 'repeat')} |"
@@ -848,7 +848,9 @@ def _standalone_md(sa: dict | None) -> list[str]:
             f" {w['lo_events_per_sec']} |"
             f" {w['hi_events_per_sec']} | {w['speedup_lo_to_hi']}× |"
             f" {w.get('cpu_ceiling', '—')}× |"
-            f" {w.get('eff_vs_cpu_ceiling', '—')} | {w['grant_drift']}× |"
+            f" {w.get('eff_vs_cpu_ceiling', '—')} |"
+            f" {w.get('busy_cores_lo', '—')}→{w.get('busy_cores_hi', '—')} |"
+            f" {w.get('eff_vs_delivered_cpu', '—')} | {w['grant_drift']}× |"
             for w in dw
         ]
         # headline cohort: fold mode — the only variant whose resource
@@ -881,6 +883,27 @@ def _standalone_md(sa: dict | None) -> list[str]:
             f" {best.get('cpu_ceiling')}× ceiling;"
             f" pooled all-cohort median {med_eff}) — {north}.",
         ]
+        # eff vs DELIVERED CPU (per-window /proc/stat busy-core accounting —
+        # tools/standalone_cluster.CpuAccount): speedup divided by how much
+        # more CPU the box actually executed for the hi level. Windows with
+        # this field answer the north rule directly and per-window; the
+        # absolute cores show whether the configured 4→16 was ever granted.
+        dcw = [w for w in dw if w.get("eff_vs_delivered_cpu")]
+        if dcw:
+            des = sorted(w["eff_vs_delivered_cpu"] for w in dcw)
+            med_de = _median(des)
+            north_de = ("MEETS the ≥0.8 bar" if med_de >= 0.8
+                        else "below the ≥0.8 bar")
+            out += [
+                f"* eff-vs-DELIVERED-CPU across {len(dcw)} instrumented"
+                f" window(s): median **{med_de}** (best {des[-1]}) — speedup"
+                " ÷ (busy-cores hi / busy-cores lo), measured from /proc/stat"
+                " deltas DURING each run, so a window where the hypervisor"
+                " under-delivered cores is normalized by what it actually"
+                f" gave, not by a probe's guess — {north_de}. Absolute"
+                " busy-core columns above show delivery; per-event CPU"
+                " inflation hi/lo is visible as delivered-ratio ÷ speedup.",
+            ]
         # per-cohort medians: (rounds, events) sets the map stage's
         # arithmetic intensity, so cohorts are different experiments —
         # lower-intensity windows still carry a DRAM component and dilute
@@ -1221,6 +1244,12 @@ def _compact_final(result: dict) -> dict:
                 sa_c["cpu_roofline_n_valid"] = len(dw)
                 sa_c["cpu_roofline_median_eff_vs_ceiling"] = _median(effs)
                 sa_c["cpu_roofline_best_eff_vs_ceiling"] = effs[-1]
+                des = sorted(w["eff_vs_delivered_cpu"] for w in dw
+                             if w.get("eff_vs_delivered_cpu"))
+                if des:
+                    sa_c["n_delivered_cpu_windows"] = len(des)
+                    sa_c["median_eff_vs_delivered_cpu"] = _median(des)
+                    sa_c["best_eff_vs_delivered_cpu"] = des[-1]
         except Exception:  # noqa: BLE001 — compact line must never die
             pass
         out["standalone_scaling"] = sa_c

@@ -72,3 +72,39 @@ def test_double_replay_is_noop(spark, tmp_path):
     res2 = replay(tbl, ckpt, provider, range(CFG.n_batches))
     assert res2.applied == [] and len(res2.skipped) == CFG.n_batches
     assert tbl.current_version() == v
+
+
+def test_stats_prefetch_equivalence(spark, tmp_path):
+    """prefetch_stats overlaps batch b+1's key-stats job with batch b's
+    apply; the table, snapshot summaries, and per-batch MergeStats must be
+    byte-identical to the serial path (incl. across the schema-evolution
+    batch — key dtypes are immutable, so precomputed stats stay valid)."""
+    tbl_a = SnapshotTable(spark, str(tmp_path / "tbl_a"), n_buckets=8)
+    tbl_b = SnapshotTable(spark, str(tmp_path / "tbl_b"), n_buckets=8)
+    ck_a = Checkpoint(str(tmp_path / "ck_a.json"))
+    ck_b = Checkpoint(str(tmp_path / "ck_b.json"))
+    provider = lambda b: batch_events(spark, CFG, b)  # noqa: E731
+    res_a = replay(tbl_a, ck_a, provider, range(CFG.n_batches), prefetch_stats=True)
+    res_b = replay(tbl_b, ck_b, provider, range(CFG.n_batches), prefetch_stats=False)
+    assert res_a.applied == res_b.applied and res_a.events == res_b.events
+    assert _state_set(tbl_a.read()) == _state_set(tbl_b.read()) == _oracle(spark)
+    for sa, sb in zip(res_a.stats, res_b.stats):
+        assert sa.rows_in == sb.rows_in
+        assert sa.affected_buckets == sb.affected_buckets
+        assert (sa.deletes, sa.upserts) == (sb.deletes, sb.upserts)
+
+
+def test_key_stats_contract(spark, tmp_path):
+    """key_stats: None before the table exists (the creating merge decides
+    key dtypes); afterwards equals merge job 1 — including when the batch
+    arrives with a NARROWER key dtype than stored (cast before hashing)."""
+    tbl = SnapshotTable(spark, str(tmp_path / "tbl"), n_buckets=8)
+    b0 = batch_events(spark, CFG, 0)
+    assert tbl.key_stats(b0) is None
+    tbl.merge(b0, batch_id="0")
+    b1 = batch_events(spark, CFG, 1)
+    rows = tbl.key_stats(b1)
+    affected = sorted(int(r["_bucket"]) for r in rows)
+    assert sum(r["n_events"] for r in rows) == b1.count()
+    stats = tbl.merge(b1, batch_id="1", precomputed_stats=rows)
+    assert stats.applied and stats.affected_buckets == affected

@@ -137,6 +137,57 @@ class LiveGrantMonitor:
         return round(sum(self._rates) / len(self._rates), 1) if self._rates else None
 
 
+class CpuAccount:
+    """Exact CPU *delivered* to this box during a run, from /proc/stat
+    deltas (VM-scoped here: 32 CPUs, an idle box reads ~0.0 busy cores and
+    a 4-process burn reads ~3.9 — verified before adoption).
+
+    The bracket probes and the live-grant monitor estimate what the host
+    COULD grant; this measures what it actually DID grant while the run
+    executed. With the box otherwise idle, busy jiffies during a replay are
+    the replay's own CPU, so
+
+        eff_vs_delivered_cpu = speedup / (busy_cores_hi / busy_cores_lo)
+
+    is a per-window, self-normalizing scaling efficiency: it answers the
+    north rule's own question — when the level received k× the CPU, did
+    throughput rise ≥0.8·k× — without any separate probe whose timing can
+    miss a mid-run hypervisor burst. Steal cores are recorded alongside so
+    a window where the hypervisor withheld cycles is visible as such.
+    Caveat (kept honest in reporting): a serial stage lowers busy_cores_hi
+    and flatters this ratio, so BASELINE.md also reports the absolute
+    busy-core numbers and utilization of the configured cores."""
+
+    _FIELDS = ("user", "nice", "system", "idle", "iowait", "irq",
+               "softirq", "steal")
+
+    @staticmethod
+    def _snap() -> dict:
+        with open("/proc/stat") as f:
+            v = list(map(int, f.readline().split()[1:9]))
+        d = dict(zip(CpuAccount._FIELDS, v))
+        d["busy"] = (d["user"] + d["nice"] + d["system"]
+                     + d["irq"] + d["softirq"])
+        return d
+
+    def __enter__(self):
+        self._hz = os.sysconf("SC_CLK_TCK")
+        self._t0 = time.time()
+        self._s0 = self._snap()
+        return self
+
+    def __exit__(self, *exc):
+        # raw CPU-seconds over the accounted window; callers normalize by
+        # the replay's own measured wall (JVM startup inside the window is
+        # near-zero busy jiffies, so attributing its seconds to the replay
+        # barely moves the figure and applies equally to both levels)
+        self.wall = max(time.time() - self._t0, 1e-6)
+        s1 = self._snap()
+        self.busy_cpu_sec = round((s1["busy"] - self._s0["busy"]) / self._hz, 1)
+        self.steal_cpu_sec = round((s1["steal"] - self._s0["steal"]) / self._hz, 1)
+        self.iowait_cpu_sec = round((s1["iowait"] - self._s0["iowait"]) / self._hz, 1)
+
+
 def _free_port() -> int:
     with socket.socket() as s:
         s.bind(("127.0.0.1", 0))
@@ -313,7 +364,7 @@ def run_standalone_scaling(events: str, workdir: str,
             out_json = os.path.join(workdir, f"replay_{label}.json")
             try:
                 with StandaloneCluster(n_workers, cores_per_worker, croot) as c:
-                    with LiveGrantMonitor() as mon:
+                    with LiveGrantMonitor() as mon, CpuAccount() as cpu:
                         levels[label] = c.submit_replay(
                             zip_path, events, tbl_dir, out_json,
                             total_cores=n_workers * cores_per_worker,
@@ -322,6 +373,15 @@ def run_standalone_scaling(events: str, workdir: str,
                             sha_mode=sha_mode,
                         )
                     levels[label]["live_grant"] = mon.mean_rate()
+                    if "busy_cores" not in levels[label]:
+                        # replay built from an older zip: fall back to the
+                        # submit-window account (includes JVM startup — use
+                        # the in-replay figures whenever present)
+                        wall = max(levels[label].get("wall_sec") or cpu.wall, 1e-6)
+                        levels[label]["busy_cores"] = round(cpu.busy_cpu_sec / wall, 2)
+                        levels[label]["steal_cores"] = round(cpu.steal_cpu_sec / wall, 2)
+                        levels[label]["events_per_cpu_sec"] = round(
+                            levels[label]["events"] / max(cpu.busy_cpu_sec, 1e-6), 1)
             except (subprocess.TimeoutExpired, subprocess.CalledProcessError,
                     TimeoutError) as e:
                 result["failed"] = f"{label}: {type(e).__name__}"
@@ -364,6 +424,27 @@ def run_standalone_scaling(events: str, workdir: str,
             "eff_vs_cpu_ceiling": round(speedup / cpu_ceil, 3),
             "eff_vs_bw_ceiling": round(speedup / bw_ceil, 3),
         })
+        # CPU actually DELIVERED to each run (see CpuAccount): the
+        # self-normalizing north-rule ratio, immune to probe-timing misses
+        bc_lo, bc_hi = lo.get("busy_cores"), hi.get("busy_cores")
+        if bc_lo and bc_hi:
+            delivered_ratio = bc_hi / bc_lo
+            result.update({
+                "busy_cores_lo": bc_lo,
+                "busy_cores_hi": bc_hi,
+                "steal_cores_lo": lo.get("steal_cores"),
+                "steal_cores_hi": hi.get("steal_cores"),
+                "delivered_cpu_ratio": round(delivered_ratio, 3),
+                # == events-per-cpu-sec hi/lo: per-event CPU-cost inflation
+                # at 4x the executors. Pair with utilization: ≥0.8 here AND
+                # hi actually consuming ~its configured cores ⇒ ≥0.8·k wall
+                # scaling whenever the host delivers k — the north rule,
+                # evidenced per-window without any separate probe.
+                "eff_vs_delivered_cpu": round(speedup / delivered_ratio, 3),
+                "cpu_utilization_hi": round(bc_hi / (4 * cores_per_worker), 3),
+                "events_per_cpu_sec_lo": lo.get("events_per_cpu_sec"),
+                "events_per_cpu_sec_hi": hi.get("events_per_cpu_sec"),
+            })
         result.update({
             "events": lo["events"],
             "lo_events_per_sec": lo["events_per_sec"],
