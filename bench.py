@@ -577,13 +577,26 @@ def run_cdc_scaling(events_path: str, tmp: str, on_pair=None, gate_info: dict | 
         # the hi level — neither is valid scaling evidence (r2 recorded a
         # 0.25x "valid" pair under the old (1/ratio, ...) band)
         sane = 1.0 < speedup < ratio * 1.1
-        pairs.append({
+        pair = {
             "lo": r_lo,
             "hi": r_hi,
             "speedup": round(speedup, 3),
             "grant_drift": round(drift, 2),
             "valid": bool(drift <= _PAIR_DRIFT_MAX and sane),
-        })
+        }
+        # delivered-CPU normalization (replay self-reports /proc/stat busy
+        # deltas around exactly its timed section): speedup ÷ how much more
+        # CPU the hi level actually executed == per-event CPU inflation
+        # lo/hi — the per-window north-rule ratio, no probe timing involved
+        bc_lo, bc_hi = r_lo.get("busy_cores"), r_hi.get("busy_cores")
+        if bc_lo and bc_hi:
+            pair.update({
+                "busy_cores_lo": bc_lo,
+                "busy_cores_hi": bc_hi,
+                "delivered_cpu_ratio": round(bc_hi / bc_lo, 3),
+                "eff_vs_delivered_cpu": round(speedup / (bc_hi / bc_lo), 3),
+            })
+        pairs.append(pair)
         if on_pair is not None:
             on_pair(pairs)
 
@@ -638,12 +651,17 @@ def run_cdc_scaling(events_path: str, tmp: str, on_pair=None, gate_info: dict | 
         "scaling_efficiency_vs_bandwidth_ceiling": round(
             speedup / cal["bandwidth_ceiling_speedup"], 3)
         if cal.get("bandwidth_ceiling_speedup") else None,
+        "busy_cores_lo": chosen.get("busy_cores_lo"),
+        "busy_cores_hi": chosen.get("busy_cores_hi"),
+        "delivered_cpu_ratio": chosen.get("delivered_cpu_ratio"),
+        "eff_vs_delivered_cpu": chosen.get("eff_vs_delivered_cpu"),
         "runs": runs_meta,
         "pairs": [
             {"speedup": p["speedup"], "grant_drift": p["grant_drift"], "valid": p["valid"],
              "failed": bool(p.get("failed")),
              "lo_wall_sec": p["lo"]["wall_sec"] if p["lo"] else None,
-             "hi_wall_sec": p["hi"]["wall_sec"] if p["hi"] else None}
+             "hi_wall_sec": p["hi"]["wall_sec"] if p["hi"] else None,
+             "eff_vs_delivered_cpu": p.get("eff_vs_delivered_cpu")}
             for p in pairs
         ],
         "skipped_pairs": skipped_pairs,
@@ -1052,6 +1070,15 @@ def write_bench_md(times: dict[str, float], cdc: dict, buckets: dict | None = No
         f" **{cdc.get('scaling_efficiency_vs_bandwidth_ceiling', 'n/a')}** —"
         " the replay's roofline sits between the two"
         " (north-rule target ≥ 0.8 applies to real N vs 4N executor clusters).",
+    ] + ([
+        f"* CPU actually DELIVERED (replay-self-measured /proc/stat busy"
+        f" deltas around its timed section): {cdc['busy_cores_lo']} →"
+        f" {cdc['busy_cores_hi']} cores ({cdc['delivered_cpu_ratio']}×);"
+        f" speedup ÷ delivered = **{cdc['eff_vs_delivered_cpu']}** — the"
+        " per-event CPU-cost ratio lo/hi. Caveat: busy jiffies count"
+        " SCHEDULED time, not cycles, so hypervisor cycle-rate throttling"
+        " inflates per-event jiffies; read alongside the live-grant drift.",
+    ] if cdc.get("eff_vs_delivered_cpu") else []) + [
         "",
         "Per-phase wall seconds of the best run at each level (stats = key-only",
         "bucket job; apply = fused scan→LWW→bucketed write; commit = manifest CAS;",
@@ -1218,7 +1245,9 @@ def _compact_final(result: dict) -> dict:
         keep = ("events", "cores_lo", "cores_hi", "lo_events_per_sec",
                 "hi_events_per_sec", "speedup_lo_to_hi", "scaling_efficiency_raw",
                 "scaling_efficiency_vs_host_ceiling",
-                "scaling_efficiency_vs_bandwidth_ceiling", "valid_pairs",
+                "scaling_efficiency_vs_bandwidth_ceiling",
+                "busy_cores_lo", "busy_cores_hi", "delivered_cpu_ratio",
+                "eff_vs_delivered_cpu", "valid_pairs",
                 "window_valid")
         out["cdc_scaling"] = {k: cdc[k] for k in keep if k in cdc}
     sa = result.get("standalone_scaling") or {}

@@ -103,3 +103,32 @@ def test_compact_final_line_is_small_and_complete():
     assert back["standalone_scaling"]["scaling_efficiency_raw"] == 0.727
     assert "runs" not in back["standalone_scaling"]
     assert back["headline_grant_probe_vs_median"] == 0.97
+
+
+def test_median_interpolates_even_counts():
+    from bench import _median
+
+    assert _median([1.0]) == 1.0
+    assert _median([1.0, 2.0]) == 1.5
+    assert _median([0.35, 0.47, 0.82, 1.0]) == 0.645  # upper-middle bug case
+    assert _median([3.0, 1.0, 2.0]) == 2.0
+    import math
+    assert math.isnan(_median([]))
+
+
+def test_cpu_account_measures_a_burn():
+    """CpuAccount reads VM-scoped /proc/stat deltas: a ~1-core burn for
+    ~0.6 s must account ≈0.6 busy cpu-sec (box-idle assumption bounds the
+    upper side loosely — CI noise tolerated)."""
+    import time
+
+    sys.path.insert(0, str(Path(__file__).resolve().parents[1] / "tools"))
+    from standalone_cluster import CpuAccount
+
+    with CpuAccount() as acct:
+        t0 = time.perf_counter()
+        x = 0
+        while time.perf_counter() - t0 < 0.6:
+            x += 1
+    assert 0.3 <= acct.busy_cpu_sec <= 8.0
+    assert acct.wall >= 0.6
