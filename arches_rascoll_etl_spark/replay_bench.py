@@ -100,10 +100,21 @@ def main() -> None:
     from .streaming.checkpoint import Checkpoint
     from .streaming.pipeline import replay
 
+    # SPARK_GRAFT_STAGE_METRICS=1 turns on the driver UI's status store so
+    # the run can dump per-stage executorCpuTime / jvmGcTime / shuffle
+    # waits at the end (REST API) — the instrument that decomposes a
+    # scaling window's per-event CPU inflation into plan-attributable
+    # (GC, shuffle, scheduler) vs host-attributable (frequency, steal)
+    # parts. Off by default: the status store costs driver CPU.
+    want_stage_metrics = bool(os.environ.get("SPARK_GRAFT_STAGE_METRICS"))
     spark = get_spark(
         app_name=f"replay-bench-{args.cores}",
         cores=args.cores,
         shuffle_partitions=max(args.cores * 2, 16),
+        extra_conf=(
+            {"spark.ui.enabled": "true", "spark.ui.port": "0"}
+            if want_stage_metrics else None
+        ),
     )
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -221,9 +232,52 @@ def main() -> None:
         # commit) — pins which phase stops scaling with cores
         "batch_phase_ms": [s.phase_ms for s in res.stats],
     }
+    if want_stage_metrics:
+        out["stage_metrics"] = _stage_metrics(spark)
     with open(args.out, "w") as f:
         json.dump(out, f)
     spark.stop()
+
+
+def _stage_metrics(spark) -> list[dict]:
+    """Per-stage metric dump from the driver's status REST API, sorted by
+    executorRunTime desc. CPU figures are JVM task-thread time (ns→ms), so
+    (sum executorCpuTime)/events is per-event CPU *excluding* GC pauses and
+    scheduler gaps — comparing it across 1-executor and 4-executor levels
+    separates plan overhead from host effects."""
+    import urllib.request
+
+    ui = spark.sparkContext.uiWebUrl
+    app_id = spark.sparkContext.applicationId
+    try:
+        with urllib.request.urlopen(
+            f"{ui}/api/v1/applications/{app_id}/stages?status=complete",
+            timeout=10,
+        ) as r:
+            stages = json.load(r)
+    except Exception as e:  # noqa: BLE001 — instrumentation must not fail the run
+        return [{"error": repr(e)[:200]}]
+    keep = (
+        "stageId", "attemptId", "name", "numTasks", "numCompleteTasks",
+        "executorRunTime", "executorCpuTime", "executorDeserializeTime",
+        "executorDeserializeCpuTime", "jvmGcTime", "resultSerializationTime",
+        "shuffleFetchWaitTime", "shuffleWriteTime", "shuffleRemoteBytesRead",
+        "shuffleLocalBytesRead", "shuffleWriteBytes", "inputBytes",
+        "inputRecords", "outputBytes", "outputRecords",
+        "submissionTime", "completionTime",
+    )
+    rows = []
+    for s in stages:
+        row = {k: s.get(k) for k in keep if k in s}
+        # ns → ms for the cpu counters so all times share a unit
+        for k in ("executorCpuTime", "executorDeserializeCpuTime",
+                  "shuffleWriteTime"):
+            if row.get(k) is not None:
+                row[k] = round(row[k] / 1e6, 1)
+        row["name"] = (row.get("name") or "")[:80]
+        rows.append(row)
+    rows.sort(key=lambda r: -(r.get("executorRunTime") or 0))
+    return rows
 
 
 if __name__ == "__main__":

@@ -1301,6 +1301,21 @@ def _compact_final(result: dict) -> dict:
                 sa_c["cpu_roofline_n_valid"] = len(dw)
                 sa_c["cpu_roofline_median_eff_vs_ceiling"] = _median(effs)
                 sa_c["cpu_roofline_best_eff_vs_ceiling"] = effs[-1]
+                # headline cohort (mirrors BASELINE.md's _dense_lines):
+                # fold mode matches the ceiling probe's resource profile,
+                # and the current executor size is the one the box can
+                # physically grant 4x — older cohorts stay in the pooled
+                # median above.
+                head = sorted(
+                    w.get("eff_vs_cpu_ceiling") or 0.0 for w in dw
+                    if w.get("sha_mode") == "fold"
+                    and w.get("cores_per_worker") == STANDALONE_CORES_PER_WORKER
+                )
+                if head:
+                    sa_c["cpu_roofline_headline_cohort"] = (
+                        f"fold/c-w={STANDALONE_CORES_PER_WORKER}")
+                    sa_c["cpu_roofline_headline_n"] = len(head)
+                    sa_c["cpu_roofline_headline_median_eff"] = _median(head)
                 des = sorted(w["eff_vs_delivered_cpu"] for w in dw
                              if w.get("eff_vs_delivered_cpu"))
                 if des:
