@@ -302,12 +302,32 @@ class StandaloneCluster:
         env = dict(os.environ,
                    PYSPARK_PYTHON=sys.executable,
                    PYSPARK_DRIVER_PYTHON=sys.executable)
+        # JVM ergonomics size GC/JIT thread pools from the HOST's core
+        # count, not the executor's grant: a 2-core executor on a 32-core
+        # box spins 32 ParallelGCThreads, and the sha-dense replay's
+        # ~3 GB/s allocation rate (one hex digest per round) keeps them
+        # hot — measured 3.3 cores of non-task CPU across the 4-executor
+        # level vs 0.5 at 1 executor (stage-metrics decomposition, round
+        # 4). On a packed production cluster those threads CONTEND with
+        # neighbor executors' task threads; capping them to the executor's
+        # own core grant is the standard multi-tenant setting and makes
+        # the delivered-CPU scaling account reflect task work, not
+        # ergonomics noise.
+        exec_jvm = (f"-XX:ParallelGCThreads={max(self.cores, 2)}"
+                    " -XX:ConcGCThreads=1"
+                    f" -XX:CICompilerCount={max(self.cores, 2)}")
         subprocess.run(
             [SPARK_SUBMIT,
              "--master", self.master_url,
              "--py-files", zip_path,
              "--conf", "spark.executor.memory=6g",
              "--conf", "spark.driver.memory=8g",
+             "--conf", f"spark.executor.extraJavaOptions={exec_jvm}",
+             # driver JVM: same ergonomics fix (scheduling + Py4J, not
+             # data-plane — 4 GC threads suffice and stop burning idle
+             # cores the CPU account attributes to the run)
+             "--conf", ("spark.driver.extraJavaOptions="
+                        "-XX:ParallelGCThreads=4 -XX:ConcGCThreads=1"),
              "--conf", f"spark.cores.max={total_cores}",
              "--conf", "spark.ui.enabled=false",
              os.path.join(ROOT, "tools", "replay_submit_main.py"),
