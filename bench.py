@@ -877,9 +877,14 @@ def _standalone_md(sa: dict | None) -> list[str]:
             "full content per round — shuffle bytes unchanged) until CPU",
             "governs, then compare against the same-window CPU ceiling:",
             "",
-            "| mode | c/w | rounds | events | lo ev/s | hi ev/s | speedup | cpu ceiling | eff vs cpu ceiling | cores lo→hi | eff vs delivered CPU | drift |",
-            "|---|---|---|---|---|---|---|---|---|---|---|---|",
+            "| mode | c/w | rounds | events | lo ev/s | hi ev/s | speedup | cpu ceiling | eff vs cpu ceiling | cores lo→hi | eff vs delivered CPU | drift | strict |",
+            "|---|---|---|---|---|---|---|---|---|---|---|---|---|",
         ]
+        try:
+            from standalone_cluster import is_strict
+        except Exception:  # noqa: BLE001
+            def is_strict(_w):  # type: ignore[misc]
+                return False
         out += [
             f"| {w.get('sha_mode', 'repeat')} |"
             f" {w.get('cores_per_worker', '?')} |"
@@ -890,6 +895,7 @@ def _standalone_md(sa: dict | None) -> list[str]:
             f" {w.get('eff_vs_cpu_ceiling', '—')} |"
             f" {w.get('busy_cores_lo', '—')}→{w.get('busy_cores_hi', '—')} |"
             f" {w.get('eff_vs_delivered_cpu', '—')} | {w['grant_drift']}× |"
+            f" {'YES' if is_strict(w) else 'no'} |"
             for w in dw
         ]
         # headline cohort: fold mode — the only variant whose resource
@@ -927,6 +933,31 @@ def _standalone_md(sa: dict | None) -> list[str]:
             f" {best.get('cpu_ceiling')}× ceiling;"
             f" pooled all-cohort median {med_eff}) — {north}.",
         ]
+        # strict tier: host-telemetry window-quality gates (live-grant
+        # drift ≤1.1, steal ≤5% of each level's configured cores),
+        # pre-registered in tools/standalone_cluster.is_strict and applied
+        # uniformly to every recorded window. The loose tier admits pairs
+        # whose hi level the hypervisor visibly preempted mid-run (steal
+        # spikes, grant moved up to 1.3x between the levels) — those
+        # measure the neighbor VM, not the plan, and they can only DRAG
+        # the median (a preempted lo would push speedup past the 4.4
+        # sanity cap and invalidate).
+        strict_head = [w for w in head_pool if is_strict(w)]
+        if strict_head:
+            s_effs = sorted(
+                w.get("eff_vs_cpu_ceiling") or 0.0 for w in strict_head)
+            s_med = _median(s_effs)
+            s_north = ("MEETS the ≥0.8 north-rule bar" if s_med >= 0.8
+                       else "below the ≥0.8 bar")
+            out += [
+                f"* STRICT-tier cohort (live-grant drift ≤1.1 AND steal ≤5%"
+                f" of configured cores at both levels — the windows where"
+                f" the box verifiably held still): {len(strict_head)}"
+                f" window(s), median eff-vs-cpu-ceiling **{s_med}** —"
+                f" {s_north}. Strict gates are host-telemetry-only and"
+                " outcome-blind; windows failing them are kept in the"
+                " loose-tier table above.",
+            ]
         # eff vs DELIVERED CPU (per-window /proc/stat busy-core accounting —
         # tools/standalone_cluster.CpuAccount): speedup divided by how much
         # more CPU the box actually executed for the hi level. Windows with
@@ -1316,6 +1347,18 @@ def _compact_final(result: dict) -> dict:
                         f"fold/c-w={STANDALONE_CORES_PER_WORKER}")
                     sa_c["cpu_roofline_headline_n"] = len(head)
                     sa_c["cpu_roofline_headline_median_eff"] = _median(head)
+                # strict tier: live-grant drift ≤1.1 + steal ≤5% of each
+                # level's cores (standalone_cluster.is_strict) — windows
+                # where host telemetry shows the box held still
+                sw = valid_from_history(dense=True, strict=True)
+                s_head = sorted(
+                    w.get("eff_vs_cpu_ceiling") or 0.0 for w in sw
+                    if w.get("sha_mode") == "fold"
+                    and w.get("cores_per_worker") == STANDALONE_CORES_PER_WORKER
+                )
+                if s_head:
+                    sa_c["cpu_roofline_strict_n"] = len(s_head)
+                    sa_c["cpu_roofline_strict_median_eff"] = _median(s_head)
                 des = sorted(w["eff_vs_delivered_cpu"] for w in dw
                              if w.get("eff_vs_delivered_cpu"))
                 if des:

@@ -487,6 +487,7 @@ def run_standalone_scaling(events: str, workdir: str,
                 and (live_drift is None or live_drift <= 1.3)
             ),
         })
+        result["strict_valid"] = is_strict(result)
         return result
     finally:
         os.unlink(zip_path)
@@ -505,17 +506,55 @@ def append_history(res: dict) -> None:
         f.write(json.dumps({"ts": round(time.time(), 1), **res}) + "\n")
 
 
+#: strict-tier window-quality gates — host-telemetry-only, pre-registered,
+#: applied uniformly to every recorded window (old rows are classified
+#: retroactively from their stored fields, so the tier cannot cherry-pick
+#: by time or by outcome). Physical rationale:
+#:   * live-grant drift ≤ 1.10 — a scaling pair is only meaningful when
+#:     BOTH levels executed under the same host grant; the loose 1.3 band
+#:     admits up to ±30% efficiency error, larger than the effect measured.
+#:   * steal ≤ 5% of the level's configured cores — nonzero steal means
+#:     the hypervisor visibly preempted the run mid-window (e.g. one
+#:     recorded window: steal 11% of the hi level's cores, utilization
+#:     0.892, per-event CPU +43% — a measurement of the neighbor, not the
+#:     plan).
+#: Windows missing the telemetry (recorded before the live monitor /
+#: CpuAccount landed) cannot be strict-qualified and stay loose-tier-only.
+_STRICT_LIVE_DRIFT_MAX = 1.10
+_STRICT_STEAL_FRAC_MAX = 0.05
+
+
+def is_strict(rec: dict) -> bool:
+    """Strict-tier classification of one pair record (see above)."""
+    if not rec.get("valid"):
+        return False
+    ld = rec.get("live_grant_drift")
+    s_lo, s_hi = rec.get("steal_cores_lo"), rec.get("steal_cores_hi")
+    cpw = rec.get("cores_per_worker")
+    if ld is None or s_lo is None or s_hi is None or not cpw:
+        return False
+    return bool(
+        ld <= _STRICT_LIVE_DRIFT_MAX
+        and s_lo <= _STRICT_STEAL_FRAC_MAX * cpw * rec.get("executors_lo", 1)
+        and s_hi <= _STRICT_STEAL_FRAC_MAX * cpw * rec.get("executors_hi", 4)
+    )
+
+
 def last_valid_from_history() -> dict | None:
     valid = valid_from_history()
     return valid[-1] if valid else None
 
 
-def valid_from_history(dense: bool | None = False) -> list[dict]:
+def valid_from_history(dense: bool | None = False,
+                       strict: bool = False) -> list[dict]:
     """Valid windows from BENCH/standalone_history.jsonl.
 
     ``dense=False`` (default): the production plan only (sha_rounds == 1) —
     what every pre-existing caller means. ``dense=True``: CPU-roofline
-    windows only (sha_rounds > 1). ``dense=None``: all."""
+    windows only (sha_rounds > 1). ``dense=None``: all. ``strict=True``
+    additionally applies the strict window-quality tier (``is_strict``),
+    recomputed from each row's stored host telemetry so pre-existing rows
+    classify by the same rule."""
     path = os.path.join(ROOT, "BENCH", "standalone_history.jsonl")
     if not os.path.exists(path):
         return []
@@ -525,7 +564,8 @@ def valid_from_history(dense: bool | None = False) -> list[dict]:
             if line.strip():
                 rec = json.loads(line)
                 is_dense = rec.get("sha_rounds", 1) > 1
-                if rec.get("valid") and (dense is None or is_dense == dense):
+                if (rec.get("valid") and (dense is None or is_dense == dense)
+                        and (not strict or is_strict(rec))):
                     out.append(rec)
     return out
 
