@@ -78,6 +78,25 @@ def _median(xs) -> float:
     mid = xs[n // 2] if n % 2 else (xs[n // 2 - 1] + xs[n // 2]) / 2
     return round(float(mid), 3)
 
+
+def _modal_config(windows: list[dict]) -> list[dict]:
+    """The windows of the most-populous (sha_rounds, events) config.
+
+    A cohort median only compares like with like when every window ran the
+    IDENTICAL job; mixing e.g. a 75k-event short-wall experiment (serial
+    floor dominates) with the 150k-event main config skews the median with
+    a workload difference, not a host or plan difference. Selection is by
+    window COUNT (outcome-blind) — never by score.
+    """
+    from collections import Counter
+
+    if not windows:
+        return []
+    key = lambda w: (w.get("sha_rounds"), w.get("events"))  # noqa: E731
+    modal = Counter(key(w) for w in windows).most_common(1)[0][0]
+    return [w for w in windows if key(w) == modal]
+
+
 def _burn(seconds: float) -> int:
     # module-level so multiprocessing can pickle it under any start method
     import hashlib
@@ -912,11 +931,18 @@ def _standalone_md(sa: dict | None) -> list[str]:
         fold_all = [w for w in dw if w.get("sha_mode") == "fold"]
         fold_cpw = [w for w in fold_all
                     if w.get("cores_per_worker") == STANDALONE_CORES_PER_WORKER]
-        head_pool = fold_cpw or fold_all
+        # a cohort median is only apples-to-apples over IDENTICAL jobs, so
+        # narrow further to the modal (rounds, events) config — selection
+        # by window COUNT, never by score, so the narrowing stays
+        # outcome-blind; minority configs (short-wall experiments whose
+        # serial floor dominates) stay in the table and the pooled median.
+        head_pool = _modal_config(fold_cpw) or fold_all
         head_effs = sorted(w.get("eff_vs_cpu_ceiling") or 0.0 for w in head_pool)
         head_med = _median(head_effs) if head_effs else _median(effs)
         head_label = (
-            f"fold/c-w={STANDALONE_CORES_PER_WORKER} cohort ({len(fold_cpw)} windows)"
+            f"fold/c-w={STANDALONE_CORES_PER_WORKER}/"
+            f"r{head_pool[0].get('sha_rounds')}/"
+            f"{head_pool[0].get('events')}ev cohort ({len(head_pool)} windows)"
             if fold_cpw else
             f"fold-cohort ({len(fold_all)} windows)" if fold_all
             else f"all-window ({len(dw)})"
@@ -1317,7 +1343,7 @@ def _compact_final(result: dict) -> dict:
         sa_c = {k: sa[k] for k in keep if k in sa}
         try:
             sys.path.insert(0, os.path.join(ROOT, "tools"))
-            from standalone_cluster import valid_from_history
+            from standalone_cluster import is_strict, valid_from_history
 
             vw = valid_from_history()
             if vw:
@@ -1334,31 +1360,41 @@ def _compact_final(result: dict) -> dict:
                 sa_c["cpu_roofline_best_eff_vs_ceiling"] = effs[-1]
                 # headline cohort (mirrors BASELINE.md's _dense_lines):
                 # fold mode matches the ceiling probe's resource profile,
-                # and the current executor size is the one the box can
-                # physically grant 4x — older cohorts stay in the pooled
-                # median above.
-                head = sorted(
-                    w.get("eff_vs_cpu_ceiling") or 0.0 for w in dw
+                # the current executor size is the one the box can
+                # physically grant 4x, and _modal_config narrows to the
+                # most-populous (rounds, events) job so the median compares
+                # identical work — older/minority cohorts stay in the
+                # pooled median above.
+                head_pool = _modal_config([
+                    w for w in dw
                     if w.get("sha_mode") == "fold"
                     and w.get("cores_per_worker") == STANDALONE_CORES_PER_WORKER
-                )
-                if head:
+                ])
+                if head_pool:
+                    head = sorted(w.get("eff_vs_cpu_ceiling") or 0.0
+                                  for w in head_pool)
                     sa_c["cpu_roofline_headline_cohort"] = (
-                        f"fold/c-w={STANDALONE_CORES_PER_WORKER}")
+                        f"fold/c-w={STANDALONE_CORES_PER_WORKER}/"
+                        f"r{head_pool[0].get('sha_rounds')}/"
+                        f"{head_pool[0].get('events')}ev")
                     sa_c["cpu_roofline_headline_n"] = len(head)
                     sa_c["cpu_roofline_headline_median_eff"] = _median(head)
-                # strict tier: live-grant drift ≤1.1 + steal ≤5% of each
-                # level's cores (standalone_cluster.is_strict) — windows
-                # where host telemetry shows the box held still
-                sw = valid_from_history(dense=True, strict=True)
-                s_head = sorted(
-                    w.get("eff_vs_cpu_ceiling") or 0.0 for w in sw
-                    if w.get("sha_mode") == "fold"
-                    and w.get("cores_per_worker") == STANDALONE_CORES_PER_WORKER
-                )
-                if s_head:
-                    sa_c["cpu_roofline_strict_n"] = len(s_head)
-                    sa_c["cpu_roofline_strict_median_eff"] = _median(s_head)
+                    # strict tier: live-grant drift ≤1.1 + steal ≤5% of
+                    # each level's cores (standalone_cluster.is_strict) —
+                    # windows where host telemetry shows the box held still
+                    s_head = sorted(
+                        w.get("eff_vs_cpu_ceiling") or 0.0
+                        for w in head_pool if is_strict(w))
+                    if s_head:
+                        sa_c["cpu_roofline_strict_n"] = len(s_head)
+                        sa_c["cpu_roofline_strict_median_eff"] = _median(s_head)
+                    d_head = sorted(
+                        w["eff_vs_delivered_cpu"] for w in head_pool
+                        if w.get("eff_vs_delivered_cpu"))
+                    if d_head:
+                        sa_c["headline_n_delivered_cpu"] = len(d_head)
+                        sa_c["headline_median_eff_vs_delivered_cpu"] = (
+                            _median(d_head))
                 des = sorted(w["eff_vs_delivered_cpu"] for w in dw
                              if w.get("eff_vs_delivered_cpu"))
                 if des:
