@@ -132,3 +132,19 @@ def test_cpu_account_measures_a_burn():
             x += 1
     assert 0.3 <= acct.busy_cpu_sec <= 8.0
     assert acct.wall >= 0.6
+
+
+def test_modal_config_selects_by_count_not_score():
+    """The headline cohort narrows to the most-populous (rounds, events)
+    config — outcome-blind: a minority config with better scores must not
+    be chosen, and its windows must be excluded from the returned pool."""
+    from bench import _modal_config
+
+    main = [{"sha_rounds": 4000, "events": 150000, "eff_vs_cpu_ceiling": e}
+            for e in (0.7, 0.75, 0.8)]
+    shiny_minority = [{"sha_rounds": 8000, "events": 75000,
+                       "eff_vs_cpu_ceiling": 0.99}]
+    pool = _modal_config(main + shiny_minority)
+    assert len(pool) == 3
+    assert all(w["sha_rounds"] == 4000 for w in pool)
+    assert _modal_config([]) == []
