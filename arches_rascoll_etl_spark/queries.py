@@ -1738,3 +1738,58 @@ def q56(spark, sf):
     group, cols = ["user_id"], ["content", "commit_seq"]
     prev = INC.maintain_minmax(tbl, None, None, v_even, group, cols)
     return INC.maintain_minmax(tbl, prev, v_even, v_all, group, cols)
+
+
+@query(
+    "q57_quarantine_split",
+    """
+    WITH ev AS (
+      SELECT event_id,
+             CASE WHEN event_id % 97 = 0 THEN NULL ELSE user_id END AS user_id,
+             CASE WHEN event_id % 101 = 0 THEN NULL ELSE ts END AS ts,
+             CASE WHEN event_id % 103 = 0 THEN 'X' ELSE 'U' END AS op
+      FROM events
+    ), cls AS (
+      SELECT event_id,
+             CASE WHEN user_id IS NULL THEN 'null_key'
+                  WHEN ts IS NULL THEN 'null_order'
+                  WHEN op NOT IN ('I','U','D') THEN 'bad_op'
+                  ELSE 'valid' END AS reason
+      FROM ev
+    )
+    SELECT reason, COUNT(*) AS n_events,
+           CAST(SUM(event_id) AS BIGINT) AS sum_event_id
+    FROM cls GROUP BY reason ORDER BY reason
+    """,
+)
+def q57(spark, sf):
+    """Dead-letter quarantine classification (operators/quarantine.py
+    split_quarantine): deterministically corrupt the events table (NULL
+    key per event_id%97, NULL ordering per %101, unknown op per %103 —
+    priority null_key > null_order > bad_op where classes overlap), split
+    with the real operator, and aggregate both halves per reason. Pure
+    Column predicates fused into the scan; the reference's analogue is the
+    silent per-value json error-skip at ref_collection.py:80-85."""
+    from .operators.quarantine import REASON_COL, split_quarantine
+
+    ev = _t(spark, sf, "events").select(
+        "event_id",
+        F.when(F.col("event_id") % 97 == 0, None)
+         .otherwise(F.col("user_id")).alias("user_id"),
+        F.when(F.col("event_id") % 101 == 0, None)
+         .otherwise(F.col("ts")).alias("ts"),
+        F.when(F.col("event_id") % 103 == 0, F.lit("X"))
+         .otherwise(F.lit("U")).alias("op"),
+    )
+    valid, quar = split_quarantine(ev, ["user_id"], ["ts"], "op")
+    tagged = quar.select(F.col(REASON_COL).alias("reason"), "event_id").unionByName(
+        valid.select(F.lit("valid").alias("reason"), "event_id")
+    )
+    return (
+        tagged.groupBy("reason")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum("event_id").cast("long").alias("sum_event_id"),
+        )
+        .orderBy("reason")
+    )

@@ -78,6 +78,7 @@ def replay(
     fail_before_merge: int | None = None,
     fail_before_checkpoint: int | None = None,
     prefetch_stats: bool = True,
+    quarantine_table: LakeTable | None = None,
 ) -> ReplayResult:
     """Apply each batch exactly once, resumable from the checkpoint.
 
@@ -94,11 +95,38 @@ def replay(
     cadence (at a 1000-executor cadence every serial driver phase between
     batches is idle cluster time). Applies to tables exposing
     ``key_stats`` (SnapshotTable); others run the stats inline as before.
+
+    ``quarantine_table``: dead-letter sink for malformed events (NULL key,
+    NULL ordering column, unknown op — operators/quarantine.py). When set,
+    every batch is split BEFORE stats/merge see it: the valid half drives
+    the main merge (and the prefetched stats, so affected-bucket sets and
+    rows_in never count diverted rows), the malformed half is merged into
+    ``quarantine_table`` under batch id ``q-<bid>`` BEFORE the main merge,
+    so every crash window resumes cleanly: both merges are idempotent on
+    their lake batch ids, and ordering quarantine-first means an applied
+    main batch always has its quarantine rows landed. On a healthy stream
+    the quarantine merge is the lake's cheap empty-batch path.
     """
     from concurrent.futures import ThreadPoolExecutor
 
     res = ReplayResult()
     t_start = time.time()
+    quarantined: dict[int, DataFrame] = {}
+    if quarantine_table is not None:
+        from ..operators.quarantine import split_quarantine
+
+        main_key_cols = list(getattr(table, "key_cols", ()))
+        main_order_cols = list(getattr(table, "order_cols", ()))
+        main_op_col = getattr(table, "op_col", None)
+        inner_provider = batch_provider
+
+        def batch_provider(b: int) -> DataFrame:  # noqa: F811 — deliberate wrap
+            valid, bad = split_quarantine(
+                inner_provider(b), main_key_cols, main_order_cols, main_op_col
+            )
+            quarantined[b] = bad
+            return valid
+
     applied_ckpt = checkpoint.applied_batch_ids()
     batches = list(batch_ids)
     pool = (
@@ -141,6 +169,14 @@ def replay(
                 except Exception:  # noqa: BLE001 — prefetch is an optimization only
                     pre = None
             t0 = time.time()
+            if quarantine_table is not None:
+                from ..operators.quarantine import as_quarantine_rows
+
+                _merge_with_retry(
+                    quarantine_table,
+                    as_quarantine_rows(quarantined.pop(b), quarantine_table, bid),
+                    f"q-{bid}",
+                )
             stats = _merge_with_retry(table, df, bid, precomputed_stats=pre)
             if fail_before_checkpoint == b:
                 raise InjectedFailure(f"after merge, before checkpoint of batch {bid}")

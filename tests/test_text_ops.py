@@ -201,18 +201,23 @@ def test_rolling_hash_vectorized_matches_naive_and_is_faster():
     ]
     assert _rolling_hash_batch(texts) == [naive(v) for v in texts]
 
-    # microbench: position-vectorized batch vs per-byte Python, best of 3
+    # microbench: position-vectorized batch vs per-byte Python, best of 3.
+    # Measured in PROCESS CPU time, not wall — this host's hypervisor
+    # deschedules threads for whole timeslices (measured 4x wall swings on
+    # identical code), and a wall-clock assert flaked exactly once that
+    # way; CPU time is immune to descheduling and is the quantity the
+    # vectorization claim is about.
     big = [("lorem ipsum %d dolor sit amet " % i) * 70 for i in range(200)]
     tv = min(
-        (lambda t0: (_rolling_hash_batch(big), time.perf_counter() - t0))(time.perf_counter())[1]
+        (lambda t0: (_rolling_hash_batch(big), time.process_time() - t0))(time.process_time())[1]
         for _ in range(3)
     )
     tn = min(
-        (lambda t0: ([naive(v) for v in big], time.perf_counter() - t0))(time.perf_counter())[1]
+        (lambda t0: ([naive(v) for v in big], time.process_time() - t0))(time.process_time())[1]
         for _ in range(3)
     )
     # typically 30-100x; generous bar for the shared noisy host
-    assert tv < tn / 1.5, f"vectorized {tv:.4f}s not faster than naive {tn:.4f}s"
+    assert tv < tn / 1.5, f"vectorized {tv:.4f}s CPU not faster than naive {tn:.4f}s"
 
 
 def test_cosine_topk_exact_vs_numpy(spark):
