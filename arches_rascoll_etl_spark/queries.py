@@ -1793,3 +1793,71 @@ def q57(spark, sf):
         )
         .orderBy("reason")
     )
+
+
+@query(
+    "q58_cdc_envelope_parse",
+    """
+    WITH base AS (
+      SELECT event_id, user_id, event_type,
+             CASE event_id % 4 WHEN 0 THEN 'I' WHEN 1 THEN 'U'
+                  WHEN 2 THEN 'D' ELSE 'I' END AS op,
+             (event_id % 113 = 0) AS corrupt
+      FROM events
+    )
+    SELECT CASE WHEN corrupt THEN NULL ELSE op END AS op,
+           COUNT(*) AS n_events,
+           CAST(SUM(CASE WHEN corrupt THEN NULL ELSE event_id END) AS BIGINT)
+             AS sum_seq,
+           CAST(SUM(CASE WHEN corrupt THEN NULL ELSE user_id END) AS BIGINT)
+             AS sum_user
+    FROM base GROUP BY 1 ORDER BY 1
+    """,
+)
+def q58(spark, sf):
+    """Debezium-style envelope ingestion (sources/cdc_envelope.py): events
+    are serialized into connector envelopes (op cycling c/u/d with the
+    delete image in `before`), a deterministic subset (event_id % 113) is
+    truncated mid-JSON, and parse_cdc_envelope recovers typed change
+    events — unparseable messages surface as all-NULL rows (op NULL
+    group). The oracle computes the expected parse output directly from
+    the base columns, so every envelope field (op mapping, image
+    selection, source.seq) is value-checked."""
+    from pyspark.sql import types as T
+
+    from .sources.cdc_envelope import parse_cdc_envelope, to_cdc_envelope
+
+    record = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+        ]
+    )
+    typed = _t(spark, sf, "events").select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.element_at(
+            F.array(F.lit("I"), F.lit("U"), F.lit("D"), F.lit("I")),
+            (F.col("event_id") % 4 + 1).cast("int"),
+        ).alias("op"),
+    )
+    env = to_cdc_envelope(
+        typed, ["user_id", "event_type"], seq_col="event_id",
+        extra_cols=["event_id"],
+    )
+    corrupted = env.select(
+        F.when(F.col("event_id") % 113 == 0, F.substring("value", 1, 10))
+        .otherwise(F.col("value"))
+        .alias("value")
+    )
+    parsed = parse_cdc_envelope(corrupted, record, keep_raw=False)
+    return (
+        parsed.groupBy("op")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum("commit_seq").cast("long").alias("sum_seq"),
+            F.sum("user_id").cast("long").alias("sum_user"),
+        )
+        .orderBy("op")
+    )

@@ -1,0 +1,140 @@
+"""Debezium-style CDC envelope adapter: JSON change messages → typed events.
+
+The reference ingests pre-staged CSV/JSON files (ref_collection.py:53-71
+reloads JSON-encoded columns); a general binlog/WAL tail usually arrives
+as connector envelopes instead — one JSON message per change carrying
+``op`` (``c``/``r`` snapshot-read/``u``/``d``), ``before``/``after`` row
+images, and source metadata (commit sequence / LSN) that defines the
+total order. This adapter turns a frame of such messages into the typed
+change-event shape the rest of the engine consumes (op ∈ I/U/D, one row
+image, an ordering column), entirely with JVM-side expressions:
+
+* ``from_json`` against a schema built from the caller's record schema —
+  one pass, whole-stage codegen, no Python;
+* op mapping ``c``/``r`` → I, ``u`` → U, ``d`` → D; anything else
+  surfaces as NULL and is caught downstream as ``bad_op``;
+* image selection: ``before`` for deletes (the engine's tombstones carry
+  the last-known row), ``after`` otherwise;
+* unparseable messages (``from_json`` → NULL) keep every typed column
+  NULL, so the quarantine classifier (operators/quarantine.py) diverts
+  them as ``null_key`` with the ORIGINAL message preserved in
+  ``raw_value`` — the dead-letter row keeps its evidence.
+
+At scale this composes with the quarantine merge: parse → split →
+LWW-merge is still a single shuffle on the key columns; the parse and
+classification predicates live in the scan stage.
+"""
+
+from __future__ import annotations
+
+from typing import Mapping
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+#: original message column kept on the output for dead-letter evidence
+RAW_COL = "raw_value"
+
+_OP_MAP = {"c": "I", "r": "I", "u": "U", "d": "D"}
+
+
+def envelope_schema(record_schema: T.StructType,
+                    seq_field: str = "seq") -> T.StructType:
+    """Schema of one envelope message for ``record_schema`` rows."""
+    return T.StructType(
+        [
+            T.StructField(
+                "payload",
+                T.StructType(
+                    [
+                        T.StructField("op", T.StringType()),
+                        T.StructField("before", record_schema),
+                        T.StructField("after", record_schema),
+                        T.StructField(
+                            "source",
+                            T.StructType(
+                                [
+                                    T.StructField("ts_ms", T.LongType()),
+                                    T.StructField(seq_field, T.LongType()),
+                                ]
+                            ),
+                        ),
+                    ]
+                ),
+            )
+        ]
+    )
+
+
+def _map_op(op: Column) -> Column:
+    expr = F.lit(None).cast("string")
+    # build WHEN chain in reverse so the first pair ends up outermost
+    for src, dst in reversed(list(_OP_MAP.items())):
+        expr = F.when(op == src, F.lit(dst)).otherwise(expr)
+    return expr
+
+
+def parse_cdc_envelope(
+    df: DataFrame,
+    record_schema: T.StructType,
+    value_col: str = "value",
+    seq_field: str = "seq",
+    keep_raw: bool = True,
+) -> DataFrame:
+    """Typed change events from a frame of envelope JSON strings.
+
+    Output columns: the record columns (from ``after``, or ``before`` for
+    deletes), ``op`` (I/U/D; NULL for unknown/missing), ``commit_seq``
+    and ``ts_ms`` from source metadata, and — when ``keep_raw`` —
+    ``raw_value`` holding the original message for quarantined rows.
+    Unparseable messages yield all-NULL typed columns (``from_json``
+    returns NULL on malformed input) and are meant to flow into
+    ``operators.quarantine.split_quarantine`` downstream.
+    """
+    schema = envelope_schema(record_schema, seq_field)
+    p = F.from_json(F.col(value_col), schema)["payload"]
+    op = _map_op(p["op"])
+    image = F.when(op == "D", p["before"]).otherwise(p["after"])
+    cols = [image[f.name].alias(f.name) for f in record_schema.fields]
+    cols += [
+        op.alias("op"),
+        p["source"][seq_field].alias("commit_seq"),
+        p["source"]["ts_ms"].alias("ts_ms"),
+    ]
+    if keep_raw:
+        cols.append(F.col(value_col).alias(RAW_COL))
+    return df.select(*cols)
+
+
+def to_cdc_envelope(
+    df: DataFrame,
+    record_cols: Mapping[str, str] | list[str],
+    op_col: str = "op",
+    seq_col: str = "commit_seq",
+    ts_col: str | None = None,
+    extra_cols: list[str] | None = None,
+) -> DataFrame:
+    """Inverse adapter (tests + round-trips): typed events → a frame of
+    envelope JSON strings (column ``value``), deletes carrying ``before``
+    only. ``extra_cols`` ride alongside unserialized — the message-key
+    position of a Kafka-shaped record."""
+    names = list(record_cols)
+    record = F.struct(*[F.col(c).alias(c) for c in names])
+    is_del = F.col(op_col) == "D"
+    inv = {v: k for k, v in _OP_MAP.items() if k != "r"}  # I→c, U→u, D→d
+    op_expr = F.lit(None).cast("string")
+    for dst, src in inv.items():
+        op_expr = F.when(F.col(op_col) == dst, F.lit(src)).otherwise(op_expr)
+    payload = F.struct(
+        op_expr.alias("op"),
+        F.when(is_del, record).alias("before"),
+        F.when(~is_del, record).alias("after"),
+        F.struct(
+            (F.col(ts_col) if ts_col else F.lit(None).cast("long")).alias("ts_ms"),
+            F.col(seq_col).cast("long").alias("seq"),
+        ).alias("source"),
+    )
+    out = [F.to_json(F.struct(payload.alias("payload"))).alias("value")]
+    out += [F.col(c) for c in (extra_cols or [])]
+    return df.select(*out)
