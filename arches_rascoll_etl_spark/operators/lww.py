@@ -151,3 +151,60 @@ def final_state(
 ) -> DataFrame:
     """Full-log replay to final table state: LWW winners minus tombstones."""
     return collapse_batch(df, keys, order_cols).where(F.col(op_col) != "D")
+
+
+def lww_patch(
+    df: DataFrame,
+    keys: Sequence[str],
+    order_cols: Sequence[str],
+    patch_cols: Sequence[str],
+    op_col: str = "op",
+) -> DataFrame:
+    """Column-level patch semantics: NULL in an update means "unchanged".
+
+    Connector streams routinely ship partial row images (e.g. unchanged
+    TOAST/blob columns arrive as NULL/absent); plain LWW would clobber a
+    column with NULL whenever the *row's* latest event omitted it. Under
+    patch semantics each ``patch_cols`` column independently takes its
+    value from the latest event that SET it (non-NULL), while deletes
+    still fence the whole row: a set that predates the key's last delete
+    is dead, and the row exists only if an upsert follows the last delete.
+
+    ONE aggregation job, same scale shape as ``lww_latest``: per column a
+    filtered max over an (ord, value) struct — map-side combinable, hot
+    keys cost each reducer O(map_partitions) — plus two row-level
+    max-structs (last delete, last upsert). The delete fence is applied
+    as a post-aggregation projection: the latest set being older than the
+    last delete proves no live set exists (sets are totally ordered), so
+    no second pass is needed.
+    """
+    ordc = [F.col(c) for c in order_cols]
+    last_del = F.max(
+        F.when(F.col(op_col) == "D", F.struct(*ordc))
+    ).alias("_del")
+    last_up = F.max(
+        F.when(F.col(op_col) != "D", F.struct(*ordc))
+    ).alias("_up")
+    per_col = [
+        F.max(
+            F.when(
+                (F.col(op_col) != "D") & F.col(c).isNotNull(),
+                F.struct(*ordc, F.col(c).alias("_v")),
+            )
+        ).alias(f"_p_{c}")
+        for c in patch_cols
+    ]
+    agg = df.groupBy(*[F.col(k) for k in keys]).agg(last_del, last_up, *per_col)
+    alive = F.col("_up").isNotNull() & (
+        F.col("_del").isNull() | (F.col("_up") > F.col("_del"))
+    )
+    def _fenced(c: str) -> Column:
+        p = F.col(f"_p_{c}")
+        live = p.isNotNull() & (
+            F.col("_del").isNull()
+            | (p.dropFields("_v") > F.col("_del"))
+        )
+        return F.when(live, p["_v"]).alias(c)
+    return agg.where(alive).select(
+        *[F.col(k) for k in keys], *[_fenced(c) for c in patch_cols]
+    )

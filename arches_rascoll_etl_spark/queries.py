@@ -1861,3 +1861,59 @@ def q58(spark, sf):
         )
         .orderBy("op")
     )
+
+
+@query(
+    "q59_lww_patch",
+    """
+    WITH base AS (
+      SELECT event_id, user_id,
+             CASE event_id % 5 WHEN 0 THEN 'D' WHEN 1 THEN 'I' ELSE 'U' END AS op,
+             CASE WHEN event_id % 7 = 0 THEN NULL ELSE event_type END AS event_type,
+             CASE WHEN event_id % 11 = 0 THEN NULL ELSE value END AS value
+      FROM events
+    ), g AS (
+      SELECT user_id,
+        MAX(CASE WHEN op = 'D' THEN event_id END) AS del_ord,
+        MAX(CASE WHEN op <> 'D' THEN event_id END) AS up_ord,
+        MAX(CASE WHEN op <> 'D' AND event_type IS NOT NULL THEN event_id END)
+          AS et_ord,
+        ARG_MAX(event_type, event_id)
+          FILTER (op <> 'D' AND event_type IS NOT NULL) AS et_val,
+        MAX(CASE WHEN op <> 'D' AND value IS NOT NULL THEN event_id END) AS v_ord,
+        ARG_MAX(value, event_id)
+          FILTER (op <> 'D' AND value IS NOT NULL) AS v_val
+      FROM base GROUP BY user_id
+    )
+    SELECT user_id,
+      CASE WHEN et_ord IS NOT NULL AND (del_ord IS NULL OR et_ord > del_ord)
+           THEN et_val END AS event_type,
+      CASE WHEN v_ord IS NOT NULL AND (del_ord IS NULL OR v_ord > del_ord)
+           THEN v_val END AS value
+    FROM g
+    WHERE up_ord IS NOT NULL AND (del_ord IS NULL OR up_ord > del_ord)
+    ORDER BY user_id
+    """,
+)
+def q59(spark, sf):
+    """Column-level patch LWW (operators/lww.py lww_patch): NULL in an
+    update means "unchanged" (partial row images — the connector
+    TOAST-column case), each patch column independently takes the latest
+    non-NULL set, deletes fence older sets, all in ONE map-side-combinable
+    aggregation. The oracle replays the same semantics with DuckDB
+    arg_max FILTER per column."""
+    base = _t(spark, sf, "events").select(
+        "event_id",
+        "user_id",
+        F.element_at(
+            F.array(F.lit("D"), F.lit("I"), F.lit("U"), F.lit("U"), F.lit("U")),
+            (F.col("event_id") % 5 + 1).cast("int"),
+        ).alias("op"),
+        F.when(F.col("event_id") % 7 == 0, None)
+         .otherwise(F.col("event_type")).alias("event_type"),
+        F.when(F.col("event_id") % 11 == 0, None)
+         .otherwise(F.col("value")).alias("value"),
+    )
+    return lww.lww_patch(
+        base, ["user_id"], ["event_id"], ["event_type", "value"]
+    ).orderBy("user_id")
