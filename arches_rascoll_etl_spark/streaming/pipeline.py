@@ -206,16 +206,33 @@ def stream_into_table(
     checkpoint: Checkpoint,
     spark_checkpoint_dir: str,
     trigger_once: bool = True,
+    quarantine_table: LakeTable | None = None,
 ):
     """Structured Streaming sink: micro-batches merge into the lake table.
 
     Uses ``foreachBatch`` — the canonical pattern for custom exactly-once
     sinks: Spark's streaming checkpoint guarantees each epoch is delivered
     at-least-once, and the lake's batch-id idempotence upgrades that to
-    exactly-once application.
+    exactly-once application. ``quarantine_table`` mirrors ``replay``'s
+    dead-letter diversion per epoch (malformed half merged exactly-once
+    under ``q-epoch-<id>`` BEFORE the main merge).
     """
 
     def _apply(batch_df: DataFrame, epoch_id: int) -> None:
+        if quarantine_table is not None:
+            from ..operators.quarantine import as_quarantine_rows, split_quarantine
+
+            batch_df, bad = split_quarantine(
+                batch_df,
+                list(getattr(table, "key_cols", ())),
+                list(getattr(table, "order_cols", ())),
+                getattr(table, "op_col", None),
+            )
+            _merge_with_retry(
+                quarantine_table,
+                as_quarantine_rows(bad, quarantine_table, f"epoch-{epoch_id}"),
+                f"q-epoch-{epoch_id}",
+            )
         stats = _merge_with_retry(table, batch_df, f"epoch-{epoch_id}")
         checkpoint.record(f"epoch-{epoch_id}", stats.snapshot_version, stats.as_dict())
 

@@ -180,3 +180,44 @@ def test_streaming_windowed_agg_drops_late_data(spark, tmp_path):
         if p["stateOperators"]
     )
     assert dropped == 1
+
+
+def test_streaming_quarantine_diverts_malformed(spark, tmp_path):
+    """stream_into_table(quarantine_table=): per-epoch dead-letter parity
+    with replay() — corrupted events diverted, valid state unaffected."""
+    from arches_rascoll_etl_spark.operators.quarantine import REASON_COL
+
+    src = str(tmp_path / "src")
+    log = change_log(spark, CFG).withColumn(
+        "repo",
+        F.when(F.col("event_id") % 29 == 0, None).otherwise(F.col("repo")),
+    )
+    log.write.partitionBy("batch_id").parquet(src)
+
+    stream = (
+        spark.readStream.schema(log.drop("batch_id").schema)
+        .parquet(src + "/batch_id=*")
+    )
+    tbl = SnapshotTable(spark, str(tmp_path / "tbl"), n_buckets=8)
+    quar = SnapshotTable(
+        spark, str(tmp_path / "quar"),
+        key_cols=["event_id"], order_cols=["event_id"], n_buckets=4,
+    )
+    ckpt = Checkpoint(str(tmp_path / "ckpt" / "manifest.json"))
+    q = stream_into_table(stream, tbl, ckpt, str(tmp_path / "spark_ckpt"),
+                          quarantine_table=quar)
+    q.awaitTermination(120)
+
+    n_bad = log.where(F.col("event_id") % 29 == 0).count()
+    qdf = quar.read()
+    assert qdf.count() == n_bad and n_bad > 0
+    assert qdf.where(F.col(REASON_COL) != "null_key").count() == 0
+    # main state == pure-Python oracle over the valid half only
+    events = [r.asDict() for r in log.where(F.col("event_id") % 29 != 0).collect()]
+    got = {
+        tuple(r)
+        for r in tbl.read()
+        .select("repo", "path", "commit", "lang", F.sha2("content", 256))
+        .collect()
+    }
+    assert got == oracle.final_rows(events)
