@@ -68,3 +68,45 @@ def test_lww_replay_matches_oracle_random_logs(events):
         for t in oracle.final_rows(events, cols=("repo", "path", "commit"), hash_content=True)
     }
     assert got == want
+
+
+patch_event_st = st.fixed_dictionaries(
+    {
+        "key": st.integers(min_value=0, max_value=5),
+        "ord": st.integers(min_value=0, max_value=200),
+        "op": st.sampled_from(["I", "U", "U", "D"]),
+        "a": st.one_of(st.none(), st.sampled_from(["a1", "a2", "a3"])),
+        "b": st.one_of(st.none(), st.integers(min_value=0, max_value=9)),
+    }
+)
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+@given(st.lists(patch_event_st, min_size=1, max_size=80, unique_by=lambda e: e["ord"]))
+def test_lww_patch_matches_oracle_random_logs(events):
+    """Patch semantics vs a sequential replay oracle: NULL never clobbers,
+    deletes fence, per-column independence. ``ord`` unique (total order, as
+    commit_seq is in the real log)."""
+    spark = _get_spark()
+
+    state: dict = {}
+    for e in sorted(events, key=lambda e: e["ord"]):
+        if e["op"] == "D":
+            state.pop(e["key"], None)
+            continue
+        row = state.setdefault(e["key"], {"a": None, "b": None})
+        if e["a"] is not None:
+            row["a"] = e["a"]
+        if e["b"] is not None:
+            row["b"] = e["b"]
+    want = {k: (v["a"], v["b"]) for k, v in state.items()}
+
+    df = spark.createDataFrame(
+        [(e["key"], e["ord"], e["op"], e["a"], e["b"]) for e in events],
+        "key long, ord long, op string, a string, b long",
+    )
+    got = {
+        r["key"]: (r["a"], r["b"])
+        for r in lww.lww_patch(df, ["key"], ["ord"], ["a", "b"]).collect()
+    }
+    assert got == want
