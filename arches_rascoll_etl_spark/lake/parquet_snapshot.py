@@ -18,6 +18,15 @@ Iceberg-shaped semantics with zero extra dependencies:
   keys rewrites ~1% of the table, and the rewrite job reads only those
   buckets' files (file-level pruning via the manifest — the moral
   equivalent of Iceberg partition pruning).
+* **Merge-on-read MERGE for scattered updates** — ``merge(mode="mor")``
+  (Iceberg v2 MOR analogue) appends per-bucket DELTA files without reading
+  base at all: write cost is O(batch bytes), so a 1k-row update scattered
+  across hundreds of buckets writes kilobytes where COW would rewrite
+  gigabytes. Readers fold base + deltas per delta-bearing bucket with the
+  SAME LWW aggregation the COW apply uses (delta-free buckets stream
+  straight off base — zero resolution cost); ``compact()`` folds deltas
+  back into base. COW and MOR interleave freely per batch; both obey the
+  batch-id ledger, CAS commit, schema evolution and tombstone rules.
 * **Idempotent commits** — each commit carries a ``batch-id`` in its
   summary; re-merging an already-committed batch id is a no-op (generalizes
   the reference's ``INSERT … WHERE pk NOT IN``,
@@ -151,13 +160,21 @@ class SnapshotTable(LakeTable):
         order_cols: Iterable[str] = ("commit_seq", "commit"),
         op_col: str = "op",
         n_buckets: int = 32,
+        merge_mode: str = "cow",
     ):
+        if merge_mode not in ("cow", "mor"):
+            raise ValueError(f"merge_mode must be 'cow' or 'mor' (got {merge_mode!r})")
         self.spark = spark
         self.path = path
         self.key_cols = list(key_cols)
         self.order_cols = list(order_cols)
         self.op_col = op_col
         self.n_buckets = n_buckets
+        # default write strategy for merge(): "cow" rewrites touched buckets
+        # (read-optimized), "mor" appends per-bucket delta files and defers
+        # the fold to read/compact (write-optimized — Iceberg v2 MOR
+        # analogue; see merge() docstring for the 100-TB trade-off)
+        self.merge_mode = merge_mode
         # committed_batch_ids incremental cache: (version it covers, ids)
         self._bid_cache: tuple[int | None, set[str] | None] = (None, None)
         os.makedirs(os.path.join(path, "manifests"), exist_ok=True)
@@ -216,8 +233,9 @@ class SnapshotTable(LakeTable):
         schema_json: dict,
         files: dict,
         summary: dict,
+        delta_files: dict | None = None,
     ) -> dict:
-        return {
+        m = {
             "format-version": FORMAT_VERSION,
             "bucket_fn": BUCKET_FN_ID,
             "version": version,
@@ -229,6 +247,16 @@ class SnapshotTable(LakeTable):
             "files": files,
             "summary": summary,
         }
+        # merge-on-read delta files per bucket (absent/empty on pure-COW
+        # snapshots — pre-MOR manifests stay valid and byte-identical)
+        if delta_files:
+            m["delta_files"] = {b: fl for b, fl in delta_files.items() if fl}
+        return m
+
+    @staticmethod
+    def _delta_map(m: dict) -> dict[str, list[str]]:
+        """Per-bucket MOR delta file lists of a manifest ({} on pure COW)."""
+        return m.get("delta_files") or {}
 
     def _commit(self, manifest: dict) -> None:
         """CAS commit: the manifest is fully written to a unique attempt
@@ -302,16 +330,23 @@ class SnapshotTable(LakeTable):
             chain.append(m)
             v = m.get("parent_version")
         keep, expire = chain[:keep_last], chain[keep_last:]
-        keep_files = {f for m in keep for fl in m["files"].values() for f in fl}
+
+        def _refs(m: dict):
+            """Every data file a manifest references: base + MOR deltas."""
+            for fl in m["files"].values():
+                yield from fl
+            for fl in self._delta_map(m).values():
+                yield from fl
+
+        keep_files = {f for m in keep for f in _refs(m)}
         removed_files = 0
         for m in expire:
-            for fl in m["files"].values():
-                for f in fl:
-                    if f not in keep_files:
-                        p = os.path.join(self.path, f)
-                        if os.path.exists(p):
-                            os.unlink(p)
-                            removed_files += 1
+            for f in _refs(m):
+                if f not in keep_files:
+                    p = os.path.join(self.path, f)
+                    if os.path.exists(p):
+                        os.unlink(p)
+                        removed_files += 1
             os.unlink(self._manifest_path(m["version"]))
         # prune empty per-commit data dirs left behind (a table whose only
         # commits were empty batches has no data dir at all)
@@ -360,6 +395,7 @@ class SnapshotTable(LakeTable):
             except FileNotFoundError:
                 break
             live.update(f for fl in m["files"].values() for f in fl)
+            live.update(f for fl in self._delta_map(m).values() for f in fl)
             v = m.get("parent_version")
         removed = {"data_files": 0, "attempt_manifests": 0}
         data_root = os.path.join(self.path, "data")
@@ -452,14 +488,49 @@ class SnapshotTable(LakeTable):
         )
 
     def _read_stored(self, version: int | None = None) -> DataFrame:
-        """All stored rows of a snapshot, tombstones included, with op."""
+        """All stored rows of a snapshot, tombstones included, with op —
+        one winner row per key (MOR deltas resolved, see _resolved_stored)."""
         v = self._current_version() if version is None else version
         if v is None:
             raise FileNotFoundError(f"table {self.path} has no snapshots")
-        m = self._load_manifest(v)
+        return self._resolved_stored(self._load_manifest(v))
+
+    def _resolved_stored(
+        self, m: dict, buckets: Iterable[str] | None = None
+    ) -> DataFrame:
+        """Winner-per-key stored rows of a snapshot manifest (tombstones
+        included, op column present), restricted to ``buckets`` when given.
+
+        MOR resolution happens here, bucket-bounded: buckets WITHOUT delta
+        files stream straight off their base files — no aggregation, no
+        shuffle, the base invariant (merge/compact collapse to one row per
+        key) makes resolution a no-op there. Buckets WITH deltas union
+        base + delta rows and collapse with the SAME LWW aggregation the
+        COW apply uses (stored rows re-enter at their own seq, op null
+        coalesced to 'U'), so a MOR table reads row-for-row identical to
+        the COW table produced by the same batches. The read-side shuffle
+        is bounded by the delta-bearing buckets' rows only — the price MOR
+        pays at read time for its O(batch) writes (fold it back with
+        compact())."""
         schema = self._stored_schema(T.StructType.fromJson(m["schema"]))
-        files = [f for bucket_files in m["files"].values() for f in bucket_files]
-        return self._read_files(files, schema)
+        files, deltas = m["files"], self._delta_map(m)
+        bset = (
+            set(files) | set(deltas)
+            if buckets is None
+            else {str(b) for b in buckets}
+        )
+        plain = [f for b in bset if not deltas.get(b) for f in files.get(b, [])]
+        delta_buckets = [b for b in bset if deltas.get(b)]
+        base = self._read_files(plain, schema)
+        if not delta_buckets:
+            return base
+        dfiles = [
+            f for b in delta_buckets for f in files.get(b, []) + deltas[b]
+        ]
+        d = self._read_files(dfiles, schema).withColumn(
+            self.op_col, F.coalesce(F.col(self.op_col), F.lit("U"))
+        )
+        return base.unionByName(lww_latest(d, self.key_cols, self.order_cols))
 
     # below this many lookup keys, read_keys also pushes per-column In
     # filters into the parquet scan (see docstring) — larger lists would
@@ -496,7 +567,9 @@ class SnapshotTable(LakeTable):
             str(r[0])
             for r in key_df.select(self._bucket_col(key_df).alias(_BUCKET)).distinct().collect()
         }
+        deltas = self._delta_map(m)
         files = [f for b, fl in m["files"].items() if b in wanted for f in fl]
+        files += [f for b in wanted for f in deltas.get(b, [])]
         df = self._read_files(files, schema)
         if 0 < len(keys) <= self._PUSHDOWN_MAX_KEYS:
             for i, k in enumerate(self.key_cols):
@@ -510,6 +583,15 @@ class SnapshotTable(LakeTable):
                     df = df.where(_F.col(k).isin(vals) | _F.col(k).isNull())
                 elif vals:
                     df = df.where(_F.col(k).isin(vals))
+        # MOR: if any scanned bucket carries deltas, collapse to the winner
+        # per key AFTER the pushdown filters — key-level predicates commute
+        # with the per-key LWW, so resolution runs over only the filtered
+        # superset (a handful of row groups), not the whole bucket
+        if any(deltas.get(b) for b in wanted):
+            df = df.withColumn(
+                self.op_col, _F.coalesce(_F.col(self.op_col), _F.lit("U"))
+            )
+            df = lww_latest(df, self.key_cols, self.order_cols)
         # semi-join against the key set (broadcast — the key list is small)
         out = df.join(_F.broadcast(key_df), on=self.key_cols, how="left_semi")
         return (
@@ -599,22 +681,28 @@ class SnapshotTable(LakeTable):
         m_to = self._load_manifest(to_v)
         schema_to = T.StructType.fromJson(m_to["schema"])
 
-        all_buckets = set(m_from["files"]) | set(m_to["files"])
-        changed = sorted(
-            b for b in all_buckets if m_from["files"].get(b) != m_to["files"].get(b)
+        d_from, d_to = self._delta_map(m_from), self._delta_map(m_to)
+        all_buckets = (
+            set(m_from["files"]) | set(m_to["files"]) | set(d_from) | set(d_to)
         )
-        f_from = [f for b in changed for f in m_from["files"].get(b, [])]
-        f_to = [f for b in changed for f in m_to["files"].get(b, [])]
+        # a bucket changed if its base OR its delta file list moved (a MOR
+        # merge only appends deltas; a compact only folds them — both must
+        # surface in the incremental read)
+        changed = sorted(
+            b
+            for b in all_buckets
+            if m_from["files"].get(b) != m_to["files"].get(b)
+            or d_from.get(b) != d_to.get(b)
+        )
 
-        def live(files: list[str], schema_json) -> DataFrame:
-            schema = self._stored_schema(T.StructType.fromJson(schema_json))
-            df = self._read_files(files, schema)
+        def live(m: dict) -> DataFrame:
+            df = self._resolved_stored(m, changed)
             return df.where(
                 F.coalesce(F.col(self.op_col), F.lit("U")) != "D"
             ).drop(self.op_col)
 
-        old = live(f_from, m_from["schema"])
-        new = live(f_to, m_to["schema"])
+        old = live(m_from)
+        new = live(m_to)
 
         # align the FROM side to the TO schema (evolution adds columns)
         aligned_old = old.select(
@@ -653,21 +741,25 @@ class SnapshotTable(LakeTable):
         )
 
     def compact(self, tombstone_watermark=None, summary: dict | None = None) -> int:
-        """Expire retained tombstones — the GC pass that keeps tombstone
-        retention bounded at scale.
+        """Table maintenance rewrite: expire retained tombstones AND fold
+        MOR delta files back into base — the GC pass that keeps both
+        tombstone retention and read-side delta resolution bounded at scale
+        (Iceberg expire-tombstones + rewrite_data_files in one snapshot).
 
         Drops stored ``op='D'`` rows whose first ordering column is <= the
         watermark: a seq below which the source guarantees no out-of-order
         event can still arrive (the batch analogue of a streaming watermark).
         ``None`` drops every tombstone (caller asserts the log is fully
-        applied). Rewrites only buckets holding expirable tombstones; returns
-        the new snapshot version (current version if nothing expired).
+        applied). Rewrites only buckets holding expirable tombstones or
+        pending delta files (rewritten buckets come out delta-free — point
+        reads there stop paying the LWW fold); returns the new snapshot
+        version (current version if nothing to do).
         """
         cur = self._current_version()
         if cur is None:
             raise FileNotFoundError(f"table {self.path} has no snapshots")
         m = self._load_manifest(cur)
-        schema = T.StructType.fromJson(m["schema"])
+        deltas = self._delta_map(m)
 
         def expired(df: DataFrame):
             cond = F.coalesce(F.col(self.op_col), F.lit("U")) == "D"
@@ -675,6 +767,9 @@ class SnapshotTable(LakeTable):
                 cond = cond & (F.col(self.order_cols[0]) <= F.lit(tombstone_watermark))
             return cond
 
+        # tombstone detection over the RESOLVED view: non-delta buckets are
+        # already one-row-per-key (resolved == raw there), and delta-bearing
+        # buckets are rewritten regardless, so nothing expirable is missed
         stored = self._read_stored(cur)
         tomb_buckets = {
             str(r[0])
@@ -683,21 +778,24 @@ class SnapshotTable(LakeTable):
             .distinct()
             .collect()
         }
-        if not tomb_buckets:
+        rewrite = tomb_buckets | {b for b, fl in deltas.items() if fl}
+        if not rewrite:
             return cur
 
-        files = [f for b, fl in m["files"].items() if b in tomb_buckets for f in fl]
-        part = self._read_files(files, self._stored_schema(schema))
+        part = self._resolved_stored(m, rewrite)
         keep = part.where(~expired(part))
         keep = keep.withColumn(_BUCKET, self._bucket_col(keep))
         commit_id = uuid.uuid4().hex[:12]
         new_files = self._write_buckets(keep, commit_id)
-        files_map = {b: fl for b, fl in m["files"].items() if b not in tomb_buckets}
+        files_map = {b: fl for b, fl in m["files"].items() if b not in rewrite}
         files_map.update(new_files)
         version = cur + 1
         self._commit(self._new_manifest(
             version, cur, m["schema"], files_map,
-            {"operation": "compact", **(summary or {})},
+            {"operation": "compact",
+             "folded_delta_buckets": sum(1 for fl in deltas.values() if fl),
+             **(summary or {})},
+            delta_files={b: fl for b, fl in deltas.items() if b not in rewrite},
         ))
         return version
 
@@ -716,7 +814,8 @@ class SnapshotTable(LakeTable):
         Time travel to pre-rebucket snapshots still works: each manifest
         carries its own n_buckets. This is also the documented rewrite path
         for a future BUCKET_FN_ID change (read with the old build, rebucket
-        with the new)."""
+        with the new). Pending MOR deltas are folded by the resolved read —
+        the rebucketed snapshot is delta-free."""
         if n_buckets < 1:
             raise ValueError(f"n_buckets must be >= 1 (got {n_buckets})")
         cur = self._current_version()
@@ -771,7 +870,8 @@ class SnapshotTable(LakeTable):
         )
 
     def merge(self, batch: DataFrame, batch_id: str, summary: dict | None = None,
-              precomputed_stats: list | None = None) -> MergeStats:
+              precomputed_stats: list | None = None,
+              mode: str | None = None) -> MergeStats:
         """Apply one change batch. Two Spark jobs, no caching barrier:
 
         1. *Stats job* (cheap): per-bucket event counts computed from the
@@ -787,6 +887,28 @@ class SnapshotTable(LakeTable):
            with no further exchange. Delete/key stats ride along as
            ``Observation`` metrics on the write action. Nothing between
            batch scan and committed files but ONE exchange.
+
+        ``mode`` (default: the handle's ``merge_mode``) selects the write
+        strategy:
+
+        * ``"cow"`` — copy-on-write: job 2 unions the batch with the
+          affected buckets' stored rows (base AND any pending delta files)
+          and rewrites those buckets, clearing their delta lists. Read
+          cost stays O(1 file read per bucket); write cost is
+          O(touched-bucket bytes).
+        * ``"mor"`` — merge-on-read (Iceberg v2 analogue): job 2 collapses
+          the batch ALONE (no target scan at all) and appends the result
+          as per-bucket DELTA files; base files are untouched. Write cost
+          is O(batch bytes) — at 100 TB, a scattered 1k-row update batch
+          writes kilobytes instead of rewriting every touched bucket's
+          gigabytes. Reads of delta-bearing buckets pay the LWW fold
+          (``_resolved_stored``) until ``compact()`` folds deltas back
+          into base. The batch-id ledger, CAS commit, schema evolution and
+          tombstone retention rules are identical in both modes, and a
+          table may alternate modes freely batch-to-batch (the hot-path
+          ingest runs MOR at high cadence; a maintenance window compacts).
+          A MOR merge on a not-yet-existing table falls back to COW — the
+          bootstrap write IS the base.
         """
         t0 = time.time()
         bid = str(batch_id)
@@ -804,6 +926,11 @@ class SnapshotTable(LakeTable):
         exists = self.exists()
         cur_version = self._current_version()
         old_manifest = self._load_manifest(cur_version) if exists else None
+        old_delta = self._delta_map(old_manifest) if exists else {}
+        mode = self.merge_mode if mode is None else mode
+        if mode not in ("cow", "mor"):
+            raise ValueError(f"mode must be 'cow' or 'mor' (got {mode!r})")
+        mor = mode == "mor" and exists  # bootstrap merge IS the base write
         batch_schema = T.StructType(
             [f for f in batch.schema.fields if f.name != self.op_col]
         )
@@ -845,15 +972,24 @@ class SnapshotTable(LakeTable):
                 (old_manifest or {}).get("schema", batch_schema.jsonValue()),
                 (old_manifest or {}).get("files", {}),
                 {"operation": "merge", "batch-id": bid, **(summary or {})},
+                delta_files=old_delta,
             ))
             return MergeStats(batch_id=bid, applied=True, rows_in=0,
                               total_buckets=self.n_buckets, snapshot_version=version,
                               wall_ms=(time.time() - t0) * 1000)
 
         # ---- job 2: fused union + LWW + bucketed write ----
-        if exists:
+        # MOR reads NO target at all (the whole point: write cost tracks
+        # the batch, not the touched buckets); COW reads base files AND any
+        # pending delta files of the affected buckets — every stored row
+        # re-enters the LWW at its own seq, so a COW merge atop earlier MOR
+        # deltas folds them into the rewrite (their delta lists clear below)
+        if exists and not mor:
             target_files = [
                 f for b, fl in old_manifest["files"].items() if b in affected_set for f in fl
+            ]
+            target_files += [
+                f for b in affected_set for f in old_delta.get(b, [])
             ]
             target = self._read_files(target_files, self._stored_schema(old_schema))
         else:
@@ -919,7 +1055,10 @@ class SnapshotTable(LakeTable):
         from pyspark.sql import Observation
 
         spark = self.spark
-        small = len(affected) <= self.n_buckets // 2
+        # MOR always sizes the exchange to the batch's own bucket count —
+        # its apply job carries ONLY batch rows, so an n_buckets-wide
+        # exchange would schedule mostly-empty tasks
+        small = mor or len(affected) <= self.n_buckets // 2
         old_sp = spark.conf.get("spark.sql.shuffle.partitions")
         old_coal = spark.conf.get("spark.sql.adaptive.coalescePartitions.enabled", "true")
         old_aqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
@@ -969,16 +1108,28 @@ class SnapshotTable(LakeTable):
         n_del = int(metrics["n_del"] or 0)
 
         t_commit = time.time()
-        files = (
-            {b: fl for b, fl in old_manifest["files"].items() if b not in affected_set}
-            if exists else {}
-        )
-        files.update(new_files)
+        if mor:
+            # base untouched; this commit's files append to the affected
+            # buckets' delta lists
+            files = dict(old_manifest["files"])
+            delta = {b: list(fl) for b, fl in old_delta.items()}
+            for b, fl in new_files.items():
+                delta[b] = delta.get(b, []) + fl
+        else:
+            files = (
+                {b: fl for b, fl in old_manifest["files"].items() if b not in affected_set}
+                if exists else {}
+            )
+            files.update(new_files)
+            # the COW rewrite folded the affected buckets' deltas into base
+            delta = {b: fl for b, fl in old_delta.items() if b not in affected_set}
 
         version = 0 if cur_version is None else cur_version + 1
         self._commit(self._new_manifest(
             version, cur_version, new_schema.jsonValue(), files,
-            {"operation": "merge", "batch-id": bid, **(summary or {})},
+            {"operation": "merge", "batch-id": bid, "mode": mode,
+             **(summary or {})},
+            delta_files=delta,
         ))
         commit_ms = (time.time() - t_commit) * 1000
         return MergeStats(
