@@ -740,7 +740,32 @@ class SnapshotTable(LakeTable):
             "change_op", *keys, *[picked[c].alias(c) for c in payload]
         )
 
-    def compact(self, tombstone_watermark=None, summary: dict | None = None) -> int:
+    def delta_debt(self) -> dict:
+        """MOR maintenance signal: how much read-side resolution debt the
+        table carries. Manifest-only (no data read — callable every
+        trigger): per-bucket delta file counts plus the maxima an
+        auto-compaction policy thresholds on (streaming.stream_into_table
+        ``auto_compact_delta_files``)."""
+        cur = self._current_version()
+        per = (
+            {}
+            if cur is None
+            else {
+                b: len(fl)
+                for b, fl in self._delta_map(self._load_manifest(cur)).items()
+                if fl
+            }
+        )
+        return {
+            "delta_buckets": len(per),
+            "max_delta_files": max(per.values(), default=0),
+            "total_delta_files": sum(per.values()),
+            "per_bucket": per,
+        }
+
+    def compact(self, tombstone_watermark=None, summary: dict | None = None, *,
+                expire_tombstones: bool = True,
+                max_delta_files_per_bucket: int | None = None) -> int:
         """Table maintenance rewrite: expire retained tombstones AND fold
         MOR delta files back into base — the GC pass that keeps both
         tombstone retention and read-side delta resolution bounded at scale
@@ -754,6 +779,16 @@ class SnapshotTable(LakeTable):
         pending delta files (rewritten buckets come out delta-free — point
         reads there stop paying the LWW fold); returns the new snapshot
         version (current version if nothing to do).
+
+        ``expire_tombstones=False`` makes this a pure delta fold — the mode
+        an automated maintenance loop wants, since expiring tombstones is a
+        correctness decision (a straggler below the watermark could then
+        resurrect a deleted row) that belongs to an operator-set watermark,
+        not a cadence policy. ``max_delta_files_per_bucket=K`` folds only
+        buckets whose delta DEBT reached K files (see :meth:`delta_debt`):
+        at a seconds-cadence MOR ingest, folding every bucket on every
+        trigger would re-pay COW's write amplification — the threshold
+        amortizes one bucket rewrite over K cheap delta appends.
         """
         cur = self._current_version()
         if cur is None:
@@ -770,20 +805,29 @@ class SnapshotTable(LakeTable):
         # tombstone detection over the RESOLVED view: non-delta buckets are
         # already one-row-per-key (resolved == raw there), and delta-bearing
         # buckets are rewritten regardless, so nothing expirable is missed
-        stored = self._read_stored(cur)
-        tomb_buckets = {
-            str(r[0])
-            for r in stored.where(expired(stored))
-            .select(self._bucket_col(stored).alias(_BUCKET))
-            .distinct()
-            .collect()
+        tomb_buckets: set[str] = set()
+        if expire_tombstones:
+            stored = self._read_stored(cur)
+            tomb_buckets = {
+                str(r[0])
+                for r in stored.where(expired(stored))
+                .select(self._bucket_col(stored).alias(_BUCKET))
+                .distinct()
+                .collect()
+            }
+        fold = {
+            b
+            for b, fl in deltas.items()
+            if fl
+            and (max_delta_files_per_bucket is None
+                 or len(fl) >= max_delta_files_per_bucket)
         }
-        rewrite = tomb_buckets | {b for b, fl in deltas.items() if fl}
+        rewrite = tomb_buckets | fold
         if not rewrite:
             return cur
 
         part = self._resolved_stored(m, rewrite)
-        keep = part.where(~expired(part))
+        keep = part.where(~expired(part)) if expire_tombstones else part
         keep = keep.withColumn(_BUCKET, self._bucket_col(keep))
         commit_id = uuid.uuid4().hex[:12]
         new_files = self._write_buckets(keep, commit_id)
@@ -793,7 +837,7 @@ class SnapshotTable(LakeTable):
         self._commit(self._new_manifest(
             version, cur, m["schema"], files_map,
             {"operation": "compact",
-             "folded_delta_buckets": sum(1 for fl in deltas.values() if fl),
+             "folded_delta_buckets": sum(1 for b in rewrite if deltas.get(b)),
              **(summary or {})},
             delta_files={b: fl for b, fl in deltas.items() if b not in rewrite},
         ))

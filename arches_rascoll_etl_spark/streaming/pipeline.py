@@ -207,6 +207,7 @@ def stream_into_table(
     spark_checkpoint_dir: str,
     trigger_once: bool = True,
     quarantine_table: LakeTable | None = None,
+    auto_compact_delta_files: int | None = None,
 ):
     """Structured Streaming sink: micro-batches merge into the lake table.
 
@@ -216,6 +217,17 @@ def stream_into_table(
     exactly-once application. ``quarantine_table`` mirrors ``replay``'s
     dead-letter diversion per epoch (malformed half merged exactly-once
     under ``q-epoch-<id>`` BEFORE the main merge).
+
+    ``auto_compact_delta_files=K``: the high-cadence MOR pattern. Open the
+    table with ``merge_mode="mor"`` so each epoch appends O(epoch) delta
+    bytes instead of rewriting touched buckets, and after each epoch's
+    merge fold only the buckets whose delta debt reached K files
+    (``compact(expire_tombstones=False, max_delta_files_per_bucket=K)``) —
+    one bucket rewrite amortized over K cheap appends, read-side resolution
+    bounded at K delta files per bucket. Compaction is a maintenance commit
+    (no batch id): a crash between merge and compact just leaves debt for
+    the next epoch's fold, and tombstone expiry stays an explicit operator
+    decision (it needs a correctness watermark, not a cadence policy).
     """
 
     def _apply(batch_df: DataFrame, epoch_id: int) -> None:
@@ -235,6 +247,11 @@ def stream_into_table(
             )
         stats = _merge_with_retry(table, batch_df, f"epoch-{epoch_id}")
         checkpoint.record(f"epoch-{epoch_id}", stats.snapshot_version, stats.as_dict())
+        if auto_compact_delta_files is not None and hasattr(table, "compact"):
+            table.compact(
+                expire_tombstones=False,
+                max_delta_files_per_bucket=auto_compact_delta_files,
+            )
 
     writer = (
         stream_df.writeStream.foreachBatch(_apply)

@@ -221,6 +221,36 @@ def run_bucket_scaling() -> dict:
             & (F.pmod(F.xxhash64("path"), F.lit(500)) == 0)
         ).drop("batch_id")
         st_narrow = tbl.merge(narrow, batch_id="narrow")
+
+        # MOR-vs-COW on a SCATTERED update (few rows, many buckets — COW's
+        # worst case, MOR's best): same-size samples from batch 1, distinct
+        # pmod residues so neither merge is a dedup no-op of the other.
+        # Bytes = data files the commit added (manifest diff), the actual
+        # write amplification a 100-TB operator pays per scattered batch.
+        def _commit_bytes(version: int) -> int:
+            m_new = tbl._load_manifest(version)
+            m_old = tbl._load_manifest(m_new["parent_version"])
+            old_refs = {f for fl in m_old["files"].values() for f in fl} | {
+                f for fl in tbl._delta_map(m_old).values() for f in fl
+            }
+            new_refs = {f for fl in m_new["files"].values() for f in fl} | {
+                f for fl in tbl._delta_map(m_new).values() for f in fl
+            }
+            return sum(
+                os.path.getsize(os.path.join(tbl.path, f))
+                for f in new_refs - old_refs
+            )
+
+        def _scatter(residue: int):
+            return ev.where(
+                (F.col("batch_id") == 1)
+                & (F.pmod(F.xxhash64("path"), F.lit(997)) == residue)
+            ).drop("batch_id")
+
+        st_sc_cow = tbl.merge(_scatter(1), batch_id="scatter_cow")
+        cow_bytes = _commit_bytes(st_sc_cow.snapshot_version)
+        st_sc_mor = tbl.merge(_scatter(2), batch_id="scatter_mor", mode="mor")
+        mor_bytes = _commit_bytes(st_sc_mor.snapshot_version)
         return {
             "n_buckets": 512,
             "wide_rows_in": st_wide.rows_in,
@@ -230,6 +260,13 @@ def run_bucket_scaling() -> dict:
             "narrow_touched_buckets": len(st_narrow.affected_buckets),
             "narrow_wall_ms": round(st_narrow.wall_ms, 1),
             "narrow_over_wide_wall": round(st_narrow.wall_ms / max(st_wide.wall_ms, 1), 3),
+            "scatter_rows_in": st_sc_mor.rows_in,
+            "scatter_touched_buckets": len(st_sc_mor.affected_buckets),
+            "scatter_cow_wall_ms": round(st_sc_cow.wall_ms, 1),
+            "scatter_mor_wall_ms": round(st_sc_mor.wall_ms, 1),
+            "scatter_cow_bytes": cow_bytes,
+            "scatter_mor_bytes": mor_bytes,
+            "scatter_mor_over_cow_bytes": round(mor_bytes / max(cow_bytes, 1), 4),
         }
     finally:
         spark.stop()
@@ -1258,6 +1295,28 @@ def write_bench_md(times: dict[str, float], cdc: dict, buckets: dict | None = No
             "its touched buckets' files (manifest-level pruning), which is what",
             "bounds merge cost at 100 TB / 4096 buckets.",
         ]
+        if "scatter_mor_over_cow_bytes" in buckets:
+            lines += [
+                "",
+                "### Scattered updates: COW vs MOR write amplification",
+                "",
+                f"Same-size scattered batch ({buckets['scatter_rows_in']} rows"
+                f" across {buckets['scatter_touched_buckets']} buckets — few"
+                " rows, many buckets, COW's worst case):",
+                "",
+                "| mode | merge wall ms | bytes written |",
+                "|---|---|---|",
+                f"| COW (rewrites every touched bucket) | {buckets['scatter_cow_wall_ms']} | {buckets['scatter_cow_bytes']} |",
+                f"| MOR (appends per-bucket deltas) | {buckets['scatter_mor_wall_ms']} | {buckets['scatter_mor_bytes']} |",
+                "",
+                f"* MOR writes **{buckets['scatter_mor_over_cow_bytes']}×** the"
+                " bytes COW writes for the same scattered batch — write cost"
+                " tracks the BATCH, not the touched buckets. At 100 TB this is",
+                "  the difference between kilobytes and gigabytes per batch;",
+                "  readers pay the LWW fold on delta-bearing buckets until",
+                "  compact() folds deltas back (lake/parquet_snapshot.py",
+                "  merge(mode='mor'), value-checked by q60 + tests/test_lake_mor.py).",
+            ]
     lines += _standalone_md(standalone)
     lines += [""]
     with open(os.path.join(ROOT, "BENCH", "BASELINE.md"), "w") as f:
@@ -1407,7 +1466,10 @@ def _compact_final(result: dict) -> dict:
     bs = result.get("bucket_scaling") or {}
     if bs:
         out["bucket_scaling"] = {
-            k: bs[k] for k in ("n_buckets", "narrow_over_wide_wall") if k in bs
+            k: bs[k]
+            for k in ("n_buckets", "narrow_over_wide_wall",
+                      "scatter_mor_over_cow_bytes")
+            if k in bs
         }
     return out
 

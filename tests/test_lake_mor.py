@@ -234,3 +234,38 @@ def test_gc_keeps_live_delta_files(spark, tmp_table_dir):
     # the real invariant: no live base OR delta file was swept
     assert _state_set(tbl.read()) == state
     assert any(_delta_map(tbl).values())
+
+
+def test_compact_threshold_folds_only_debtor_buckets(spark, tmp_table_dir):
+    """compact(expire_tombstones=False, max_delta_files_per_bucket=K) is the
+    auto-maintenance fold: only buckets whose delta debt reached K rewrite;
+    lighter buckets keep their deltas, and no tombstone is expired."""
+    tbl = _mk(spark, tmp_table_dir)
+    # two keys in different buckets (checked below); A gets 3 delta files,
+    # B gets 1
+    rows_a = [("rA", "a.py", i, f"c{i}", "U", "py", f"a{i}") for i in (1, 2, 3)]
+    row_b = [("rB", "b.py", 1, "c1", "U", "py", "b1")]
+    tbl.merge(spark.createDataFrame(rows_a[:1] + row_b, ROW_SCHEMA), batch_id="base")
+    for i, r in enumerate(rows_a):
+        tbl.merge(spark.createDataFrame([r], ROW_SCHEMA), batch_id=f"da{i}", mode="mor")
+    tbl.merge(
+        spark.createDataFrame([("rB", "b.py", 2, "c2", "D", "py", "")], ROW_SCHEMA),
+        batch_id="db",
+        mode="mor",
+    )
+    debt = tbl.delta_debt()
+    assert debt["max_delta_files"] == 3 and debt["delta_buckets"] == 2
+
+    live_before = _state_set(tbl.read())
+    v = tbl.current_version()
+    new_v = tbl.compact(expire_tombstones=False, max_delta_files_per_bucket=3)
+    assert new_v == v + 1
+    debt_after = tbl.delta_debt()
+    # the 3-file bucket folded; the 1-file bucket kept its delta
+    assert debt_after["max_delta_files"] == 1 and debt_after["delta_buckets"] == 1
+    assert _state_set(tbl.read()) == live_before
+    # the un-expired tombstone still fences rB/b.py
+    assert tbl._read_stored().where("op = 'D'").count() == 1
+
+    # below threshold: a no-op commit-free call
+    assert tbl.compact(expire_tombstones=False, max_delta_files_per_bucket=3) == new_v

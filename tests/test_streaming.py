@@ -221,3 +221,35 @@ def test_streaming_quarantine_diverts_malformed(spark, tmp_path):
         .collect()
     }
     assert got == oracle.final_rows(events)
+
+
+def test_stream_mor_auto_compact(spark, tmp_path):
+    """High-cadence MOR sink: each epoch appends deltas (merge_mode='mor'
+    table), and the auto_compact_delta_files policy folds debtor buckets as
+    the stream runs — final state still equals the batch-replay oracle and
+    residual debt is bounded by the threshold."""
+    src = str(tmp_path / "src")
+    log = change_log(spark, CFG)
+    log.write.partitionBy("batch_id").parquet(src)
+
+    stream = (
+        spark.readStream.schema(log.drop("batch_id").schema)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(src + "/batch_id=*")
+    )
+    tbl = SnapshotTable(spark, str(tmp_path / "tbl"), n_buckets=8, merge_mode="mor")
+    ckpt = Checkpoint(str(tmp_path / "ckpt" / "manifest.json"))
+    q = stream_into_table(
+        stream, tbl, ckpt, str(tmp_path / "spark_ckpt"), auto_compact_delta_files=2
+    )
+    q.awaitTermination(120)
+
+    got = {
+        tuple(r)
+        for r in tbl.read()
+        .select("repo", "path", "commit", "lang", F.sha2("content", 256))
+        .collect()
+    }
+    events = [r.asDict() for r in log.collect()]
+    assert got == oracle.final_rows(events)
+    assert tbl.delta_debt()["max_delta_files"] < 2
