@@ -11,6 +11,7 @@ from __future__ import annotations
 
 import hashlib
 import math
+import os
 import sys
 from pathlib import Path
 
@@ -48,6 +49,12 @@ def value_hash(rows, colnames):
 
 
 def main():
+    # env SELFCHECK_JSON=<path>: also write a per-query result map (the
+    # committed evidence for queries registered past the driver's 50-query
+    # correctness window — same compare as the driver: rows + sorted column
+    # names + value hash)
+    json_out = os.environ.get("SELFCHECK_JSON")
+    results: dict[str, dict] = {}
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
 
@@ -75,11 +82,13 @@ def main():
         except Exception as e:  # noqa: BLE001
             print(f"FAIL  {name}: spark error: {e}")
             n_bad += 1
+            results[name] = {"status": "FAIL", "problems": [f"spark error: {e}"[:300]]}
             continue
         sql = oracles.get(name)
         if not sql:
             print(f"rows  {name}: {len(srows)} rows (no oracle)")
             n_rows_only += 1
+            results[name] = {"status": "rows-only", "rows": len(srows)}
             continue
         try:
             res = con.execute(sql)
@@ -88,6 +97,7 @@ def main():
         except Exception as e:  # noqa: BLE001
             print(f"FAIL  {name}: duckdb error: {e}")
             n_bad += 1
+            results[name] = {"status": "FAIL", "problems": [f"duckdb error: {e}"[:300]]}
             continue
         problems = []
         if len(srows) != len(orows):
@@ -99,10 +109,20 @@ def main():
         if problems:
             print(f"FAIL  {name}: {'; '.join(problems)}")
             n_bad += 1
+            results[name] = {"status": "FAIL", "problems": problems}
         else:
             print(f"ok    {name}: {len(srows)} rows")
             n_ok += 1
+            results[name] = {
+                "status": "exact", "rows": len(srows),
+                "rows_match": True, "schema_match": True, "hash_match": True,
+            }
     print(f"\n{n_ok} exact-ok, {n_rows_only} rows-only, {n_bad} FAILED")
+    if json_out:
+        import json as _json
+        with open(json_out, "w") as f:
+            _json.dump({"sf_dir": sf_dir, "n_exact": n_ok, "n_rows_only": n_rows_only,
+                        "n_failed": n_bad, "queries": results}, f, indent=1)
     spark.stop()
     sys.exit(1 if n_bad else 0)
 
