@@ -1471,6 +1471,28 @@ def _compact_final(result: dict) -> dict:
                       "scatter_mor_over_cow_bytes")
             if k in bs
         }
+    # hard size bound: r3's driver tail captured ~2.2 KB, and the full
+    # compact line measured 2.03 KB once the roofline-history stats landed —
+    # too thin a margin. Shed the least-load-bearing scalars (best-of
+    # figures, redundant counts) in a fixed order until the line fits with
+    # headroom; medians, validity, and per-query times always survive.
+    _SHED = [
+        ("standalone_scaling", "best_eff_vs_delivered_cpu"),
+        ("standalone_scaling", "n_delivered_cpu_windows"),
+        ("standalone_scaling", "headline_n_delivered_cpu"),
+        ("standalone_scaling", "cpu_roofline_best_eff_vs_ceiling"),
+        ("standalone_scaling", "history_best_speedup"),
+        ("standalone_scaling", "cpu_roofline_headline_cohort"),
+        ("cdc_scaling", "scaling_efficiency_vs_bandwidth_ceiling"),
+        ("cdc_scaling", "busy_cores_lo"),
+        ("cdc_scaling", "busy_cores_hi"),
+        ("standalone_scaling", "lo_wall_sec"),
+        ("standalone_scaling", "hi_wall_sec"),
+    ]
+    for section, key in _SHED:
+        if len(json.dumps(out)) <= 1600:
+            break
+        out.get(section, {}).pop(key, None)
     return out
 
 
