@@ -1458,8 +1458,9 @@ def q53(spark, sf):
 
 
 # --------------------------------------------------------------------------
-# Round-4 lake-lifecycle additions (registered past the driver's 50-query
-# window; oracle-checked by tools/check_oracles.py and the judge). All three
+# Round-4 lake-lifecycle additions (inside the driver's 50-query window
+# since the round-4 reorder; also oracle-checked by tools/check_oracles.py —
+# see CORRECTNESS_SELF.json). All three
 # replay the events CDC log into a temp SnapshotTable exactly like q52/q53
 # (two merges split by event_id parity — LWW makes apply order irrelevant)
 # and then exercise the lake as a *source*: time travel, incremental
