@@ -127,3 +127,42 @@ def redact_pii_emails_only(col: Column | str) -> Column:
     """Email-only redaction (used so digit-run counts don't double-count
     digits inside addresses)."""
     return F.regexp_replace(_c(col), EMAIL_RE, "<EMAIL>")
+
+
+def stratified_sample(
+    df: DataFrame,
+    id_col: str,
+    stratum_col: str,
+    rates: dict[str, float],
+    default_rate: float = 1.0,
+    resolution: int = 10_000,
+) -> DataFrame:
+    """Deterministic per-stratum downsampling: keep a row iff its
+    content-addressed bucket (first 16 bits of md5(id), mod ``resolution``)
+    falls below ``rate[stratum] * resolution``.
+
+    The corpus-balancing primitive of a training-data pipeline (e.g. keep
+    25% of English but all of the low-resource languages). Like
+    ``hash_split``, the keep/drop decision depends only on the row — stable
+    across runs, engines, retries, and partition layouts, where
+    ``df.sample()``/``rand(seed)`` are partition-layout dependent and
+    re-ingesting a shard would resample it differently. Pure Column filter:
+    no shuffle, no UDF, whole-stage codegen; at 100 TB this is a map-only
+    pass fused into the scan.
+
+    Uses 32 hash bits (8 hex digits), not ``hash_split``'s 16: 2^16 mod
+    10000 = 5536, so a 16-bit bucket would over-keep low buckets by ~7/6 —
+    a +3.4pp bias at rate 0.5. With 32 bits the modulo bias is ~2e-6.
+    """
+    thr: Column = F.lit(int(round(default_rate * resolution)))
+    when_chain = None
+    for stratum, rate in sorted(rates.items()):
+        cond = _c(stratum_col) == F.lit(stratum)
+        t = F.lit(int(round(rate * resolution)))
+        when_chain = F.when(cond, t) if when_chain is None else when_chain.when(cond, t)
+    if when_chain is not None:
+        thr = when_chain.otherwise(thr)
+    bucket = F.conv(
+        F.substring(F.md5(_c(id_col).cast("string")), 1, 2 * _SPLIT_HEX_DIGITS), 16, 10
+    ).cast("long") % F.lit(resolution)
+    return df.where(bucket < thr)

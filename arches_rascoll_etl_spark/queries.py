@@ -1992,3 +1992,71 @@ def q60(spark, sf):
     resolved.count()  # force the delta-resolving read before compaction
     tbl.compact()
     return tbl.read().select("user_id", "event_type", "content", "commit_seq")
+
+
+# ------------------------------------------------ round-4 additions (q61+)
+
+def _q61_oracle() -> str:
+    # bucket = int(first 8 hex digits of md5(doc_id)) % 10000, threshold by
+    # lang — generated from the same constants as curation.stratified_sample
+    # (32 bits, not hash_split's 16: modulo-10000 bias ~2e-6 vs +3.4pp)
+    hx = "md5(CAST(doc_id AS VARCHAR))"
+    val = " + ".join(
+        f"{_sql_hexval(hx, i + 1)}*{16 ** (7 - i)}" for i in range(8)
+    )
+    return (
+        "SELECT doc_id, lang FROM documents\n"
+        f"WHERE ({val}) % 10000 < CASE lang WHEN 'en' THEN 2500\n"
+        "                                   WHEN 'zh' THEN 5000\n"
+        "                                   ELSE 10000 END"
+    )
+
+
+@query("q61_stratified_sample", _q61_oracle())
+def q61(spark, sf):
+    """Deterministic per-stratum corpus balancing (keep 25% of English,
+    50% of Chinese, all low-resource languages): content-addressed
+    keep/drop, stable across runs/engines/partition layouts — pure Column
+    filter fused into the scan (functions/curation.py stratified_sample)."""
+    d = _t(spark, sf, "documents")
+    return CU.stratified_sample(
+        d, "doc_id", "lang", rates={"en": 0.25, "zh": 0.5}
+    ).select("doc_id", "lang")
+
+
+@query(
+    "q62_scd2_history",
+    """
+    SELECT user_id, event_type, content, valid_from_seq, valid_to_seq,
+           (valid_to_seq IS NULL) AS is_current
+    FROM (
+      SELECT user_id, event_type, value AS content,
+             event_id AS valid_from_seq,
+             LEAD(event_id) OVER (PARTITION BY user_id, event_type
+                                  ORDER BY event_id) AS valid_to_seq,
+             CASE WHEN value < 1 THEN 'D' ELSE 'U' END AS op
+      FROM events
+    ) WHERE op = 'U'
+    """,
+)
+def q62(spark, sf):
+    """SCD Type-2 history from the CDC change log (operators/scd.py): every
+    upsert version becomes a validity-interval row [valid_from, valid_to);
+    deletes close intervals without emitting rows; the open newest upsert
+    is flagged is_current. Complements q21's LWW current-state replay —
+    same log, full history. One shuffle on the key, per-key lead window."""
+    ev = _t(spark, sf, "events").select(
+        F.col("user_id"),
+        F.col("event_type"),
+        F.col("value").alias("content"),
+        F.col("event_id").alias("commit_seq"),
+        F.when(F.col("value") < 1, "D").otherwise("U").alias("op"),
+    )
+    from .operators.scd import scd2_history
+
+    return scd2_history(
+        ev, keys=("user_id", "event_type"), order_col="commit_seq"
+    ).select(
+        "user_id", "event_type", "content",
+        "valid_from_seq", "valid_to_seq", "is_current",
+    )

@@ -68,3 +68,38 @@ def test_redact_pii(spark):
     df2 = spark.createDataFrame([(0, "x 99887766@host.example.com y")], "i long, t string")
     r2 = df2.select(*CU.pii_counts("t").values()).first()
     assert r2["n_emails"] == 1 and r2["n_digit_runs"] == 0
+
+
+def test_stratified_sample_rates_and_determinism(spark):
+    n = 30_000
+    docs = (
+        spark.range(0, n)
+        .withColumnRenamed("id", "doc_id")
+        .withColumn(
+            "lang",
+            F.when(F.col("doc_id") % 3 == 0, "en")
+            .when(F.col("doc_id") % 3 == 1, "zh")
+            .otherwise("am"),
+        )
+    )
+    out = CU.stratified_sample(docs, "doc_id", "lang", {"en": 0.25, "zh": 0.5})
+    kept = {(r["doc_id"], r["lang"]) for r in out.collect()}
+    per_lang = {lg: sum(1 for _, x in kept if x == lg) for lg in ("en", "zh", "am")}
+    # each stratum has n/3 rows; kept fraction tracks its rate
+    assert abs(per_lang["en"] / (n / 3) - 0.25) < 0.02
+    assert abs(per_lang["zh"] / (n / 3) - 0.50) < 0.02
+    assert per_lang["am"] == n / 3  # default_rate=1.0 keeps everything
+    # content-addressed: identical decisions under a different layout
+    again = {
+        (r["doc_id"], r["lang"])
+        for r in CU.stratified_sample(
+            docs.repartition(13), "doc_id", "lang", {"en": 0.25, "zh": 0.5}
+        ).collect()
+    }
+    assert kept == again
+    # rates are nested: lowering a stratum's rate keeps a subset (thresholds
+    # on the same content hash), so corpora shrink monotonically — no churn
+    sub = CU.stratified_sample(docs, "doc_id", "lang", {"en": 0.1, "zh": 0.5})
+    assert {(r["doc_id"], r["lang"]) for r in sub.where("lang='en'").collect()} <= {
+        (d, x) for d, x in kept if x == "en"
+    }
