@@ -309,3 +309,39 @@ def embedding_neardup_pairs(
         .select("id_a", "id_b", cosine(F.col("_va"), F.col("_vb")).alias("cos_sim"))
         .where(F.col("cos_sim") >= threshold)
     )
+
+
+# ------------------------------------------------------------ quantization
+
+def quantize_int8(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    """Symmetric per-vector int8 quantization: ``codes[i] = round(v[i] /
+    scale)`` with ``scale = max(|v|) / 127`` — codes in [-127, 127], the
+    all-zero vector quantizes to all-zero codes with scale 0.
+
+    The storage/shuffle lever for 100-TB embedding corpora: 4× smaller
+    than float32, so 4× fewer scan bytes and 4× smaller ANN shuffles;
+    ``cosine_int8`` re-ranks on dequantized dot products with ~1e-2
+    cosine error at dim 32 (error + top-k recall in tests/test_quantize.py).
+    Pure Column higher-order functions (transform/array_max) — no UDF,
+    whole-stage codegen, map-only."""
+    v = _c(vec_col).cast("array<double>")
+    amax = F.array_max(F.transform(v, lambda x: F.abs(x)))
+    scale = amax / F.lit(127.0)
+    codes = F.when(
+        amax == F.lit(0.0), F.transform(v, lambda x: F.lit(0))
+    ).otherwise(F.transform(v, lambda x: F.round(x / scale).cast("int")))
+    return df.select(
+        _c(id_col), scale.alias("scale"), codes.alias("codes")
+    )
+
+
+def cosine_int8(codes_a: Column, scale_a: Column,
+                codes_b: Column, scale_b: Column) -> Column:
+    """Cosine over int8-quantized vectors: dequantized dot / dequantized
+    norms. The integer dot dominates (dim multiply-adds on ints); scales
+    factor out of the quotient, so this equals plain cosine over the
+    dequantized vectors — scale_a/scale_b are accepted for symmetry with
+    asymmetric schemes but cancel algebraically here."""
+    num = dot(codes_a, codes_b) * scale_a * scale_b
+    den = (l2_norm(codes_a) * scale_a) * (l2_norm(codes_b) * scale_b)
+    return (num / den).cast("double")

@@ -2060,3 +2060,29 @@ def q62(spark, sf):
         "user_id", "event_type", "content",
         "valid_from_seq", "valid_to_seq", "is_current",
     )
+
+
+@query(
+    "q63_embedding_quantize_int8",
+    """
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    s AS (SELECT vec_id, e,
+                 list_max(list_transform(e, x -> abs(x))) / 127.0 AS scale
+          FROM v)
+    SELECT vec_id, scale,
+           CAST(to_json(CASE WHEN scale = 0
+                 THEN list_transform(e, x -> 0)
+                 ELSE list_transform(e, x -> CAST(round(x / scale) AS INT))
+               END) AS VARCHAR) AS codes_json
+    FROM s
+    """,
+)
+def q63(spark, sf):
+    """Symmetric per-vector int8 quantization of the embedding corpus
+    (operators/similarity.py quantize_int8): 4x smaller embedding bytes →
+    4x fewer scan/shuffle bytes for every downstream ANN pass. Map-only
+    Column higher-order functions; codes are exact integers so the oracle
+    hash-matches byte-for-byte (scale is the same double on both sides)."""
+    e = _t(spark, sf, "embeddings")
+    q = similarity.quantize_int8(e, "vec_id", "embedding")
+    return q.select("vec_id", "scale", F.to_json("codes").alias("codes_json"))
