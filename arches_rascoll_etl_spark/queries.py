@@ -2086,3 +2086,46 @@ def q63(spark, sf):
     e = _t(spark, sf, "embeddings")
     q = similarity.quantize_int8(e, "vec_id", "embedding")
     return q.select("vec_id", "scale", F.to_json("codes").alias("codes_json"))
+
+
+@query(
+    "q64_repetition_stats",
+    """
+    WITH t AS (
+      SELECT doc_id,
+        list_filter(list_transform(string_split(text, chr(10)), s -> trim(s)),
+                    s -> len(s) > 0) AS lines,
+        list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                    s -> len(s) > 0) AS words
+      FROM documents),
+    b AS (
+      SELECT doc_id, lines, words,
+        CASE WHEN len(words) >= 2
+          THEN list_transform(generate_series(1, len(words) - 1),
+                              i -> words[i] || ' ' || words[i + 1])
+          ELSE [] END AS bigrams
+      FROM t)
+    SELECT doc_id,
+      CAST(len(lines) AS BIGINT) AS n_lines,
+      CAST(len(words) AS BIGINT) AS n_words,
+      CASE WHEN len(lines) = 0 THEN 0.0
+           ELSE 1.0 - len(list_distinct(lines)) / len(lines) END AS dup_line_frac,
+      CASE WHEN len(words) = 0 THEN 0.0
+           ELSE 1.0 - len(list_distinct(words)) / len(words) END AS dup_word_frac,
+      CASE WHEN len(bigrams) = 0 THEN 0.0
+           ELSE 1.0 - len(list_distinct(bigrams)) / len(bigrams) END AS dup_bigram_frac
+    FROM b
+    """,
+)
+def q64(spark, sf):
+    """Gopher-style repetition quality signals (duplicate line/word/bigram
+    fractions — functions/textstats.py repetition_stats): the boilerplate
+    detector of a corpus-filtering pipeline. Map-only Column expressions
+    fused into the scan; integer counts + double fractions derived from the
+    same integers on both sides, so the oracle hash-matches exactly."""
+    d = _t(spark, sf, "documents")
+    rs = TS.repetition_stats(F.col("text"))
+    return d.select(
+        "doc_id", rs["n_lines"], rs["n_words"],
+        rs["dup_line_frac"], rs["dup_word_frac"], rs["dup_bigram_frac"],
+    )

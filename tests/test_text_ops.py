@@ -322,3 +322,29 @@ def test_nan_guard_geojson(spark):
     for i in (2, 3, 4):
         assert rows[i].geo is None
     assert not rows[2].ok and not rows[3].ok
+
+
+def test_repetition_stats(spark):
+    from arches_rascoll_etl_spark.functions.textstats import repetition_stats
+
+    docs = spark.createDataFrame(
+        [
+            (0, "spam spam spam spam"),              # one word repeated
+            (1, "a\nb\na\n\n  \nb"),                 # dup lines, blanks dropped
+            (2, ""),                                  # empty text
+            (3, "all words here are unique tokens"),  # no repetition
+            (4, "x"),                                 # single word: no bigrams
+        ],
+        "doc_id long, text string",
+    )
+    rs = repetition_stats(F.col("text"))
+    rows = {r["doc_id"]: r for r in docs.select(
+        "doc_id", rs["n_lines"], rs["n_words"], rs["dup_line_frac"],
+        rs["dup_word_frac"], rs["dup_bigram_frac"]).collect()}
+    assert rows[0]["n_words"] == 4 and rows[0]["dup_word_frac"] == 0.75
+    assert rows[0]["dup_bigram_frac"] == 1.0 - 1.0 / 3.0  # 3 identical bigrams
+    assert rows[1]["n_lines"] == 4 and rows[1]["dup_line_frac"] == 0.5
+    assert rows[2]["n_lines"] == 0 and rows[2]["n_words"] == 0
+    assert rows[2]["dup_word_frac"] == 0.0 == rows[2]["dup_bigram_frac"]
+    assert rows[3]["dup_word_frac"] == 0.0 and rows[3]["dup_bigram_frac"] == 0.0
+    assert rows[4]["n_words"] == 1 and rows[4]["dup_bigram_frac"] == 0.0
