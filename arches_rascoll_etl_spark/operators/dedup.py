@@ -214,29 +214,23 @@ def lsh_candidate_pairs(
     return pairs
 
 
-def ngram_jaccard_pairs(
+def _ngram_overlap(
     df: DataFrame,
     id_col: str,
     text_col: str,
-    block_col: str | None = None,
-    k_words: int = 3,
-    threshold: float = 0.5,
-    max_doc_freq: int | None = 1000,
+    block_col: str | None,
+    k_words: int,
+    max_doc_freq: int | None,
 ) -> DataFrame:
-    """Exact word-n-gram Jaccard pairs ≥ threshold.
+    """Shared shingle-overlap core for Jaccard / containment pair scoring:
+    (id_a, id_b, n_inter, n_a, n_b) for every pair sharing ≥1 surviving
+    shingle, with id_a < id_b.
 
-    Sub-quadratic: explode shingles → self-join on shingle (+ optional
-    blocking column) → intersection counts; union derived from per-doc
-    distinct counts. Only docs sharing ≥1 shingle ever pair up.
-
-    ``max_doc_freq`` (ON by default) drops shingles appearing in more than
-    that many documents before the self-join — the standard guard against
-    the quadratic blowup of boilerplate shingles ("of the and" appearing in
-    every doc would otherwise join n² rows). Jaccard becomes approximate
-    for pairs whose overlap was ONLY boilerplate (their union counts still
-    include capped shingles, so reported similarity is a lower bound);
-    genuinely near-duplicate pairs share plenty of rare shingles and are
-    unaffected. Pass ``None`` to disable (exact, unsafe at scale)."""
+    Sub-quadratic: explode distinct shingles → self-join on shingle
+    (+ optional blocking column) → intersection counts; per-doc distinct
+    counts ride alongside. ``max_doc_freq`` drops shingles appearing in
+    more than that many documents before the self-join — the standard
+    guard against boilerplate shingles joining n² rows."""
     base = _spread(
         df.select(
             _c(id_col).alias("_id"),
@@ -269,11 +263,67 @@ def ngram_jaccard_pairs(
     )
     sa = sizes.select(F.col("_id").alias("id_a"), F.col("n_sh").alias("n_a"))
     sb = sizes.select(F.col("_id").alias("id_b"), F.col("n_sh").alias("n_b"))
+    return inter.join(sa, "id_a").join(sb, "id_b")
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    block_col: str | None = None,
+    k_words: int = 3,
+    threshold: float = 0.5,
+    max_doc_freq: int | None = 1000,
+) -> DataFrame:
+    """Exact word-n-gram Jaccard pairs ≥ threshold (id_a, id_b, jaccard).
+
+    Jaccard = |A∩B| / |A∪B| over distinct word k-grams; union derived from
+    the per-doc distinct counts, so no second join. With ``max_doc_freq``
+    (ON by default) Jaccard becomes a lower bound for pairs whose overlap
+    was ONLY boilerplate (their union counts still include capped
+    shingles); genuinely near-duplicate pairs share plenty of rare
+    shingles and are unaffected. Pass ``None`` to disable (exact, unsafe
+    at scale)."""
     return (
-        inter.join(sa, "id_a").join(sb, "id_b")
+        _ngram_overlap(df, id_col, text_col, block_col, k_words, max_doc_freq)
         .withColumn("jaccard", (F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter"))).cast("double"))
         .where(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
+    )
+
+
+def ngram_containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    block_col: str | None = None,
+    k_words: int = 3,
+    threshold: float = 0.8,
+    max_doc_freq: int | None = 1000,
+) -> DataFrame:
+    """Word-n-gram containment pairs ≥ threshold (id_a, id_b, containment).
+
+    Containment = |A∩B| / min(|A|, |B|) — the subset/superset duplicate
+    detector Jaccard structurally misses: a 100-gram doc fully quoted
+    inside a 10,000-gram doc has Jaccard ≈ 0.01 but containment = 1.0.
+    This is the standard second pass of a corpus dedup pipeline (catches
+    quote inclusions, file moves with appended headers, README sections
+    pasted into larger docs). Reference parity: the reference dedups only
+    on full-record equality (resource_utils.py); containment generalizes
+    that to partial-inclusion at n-gram granularity.
+
+    Same sub-quadratic shingle self-join core as ngram_jaccard_pairs
+    (one explode, one doc-frequency cap semi-join, one pair agg); the
+    scoring expression is the only difference, so both scale identically.
+    Caveat under ``max_doc_freq``: if the SMALLER doc's shingles are
+    mostly boilerplate, its intersection is undercounted while min(|A|,
+    |B|) is not, so reported containment is a lower bound — same
+    direction of error as Jaccard's."""
+    return (
+        _ngram_overlap(df, id_col, text_col, block_col, k_words, max_doc_freq)
+        .withColumn("containment", (F.col("n_inter") / F.least("n_a", "n_b")).cast("double"))
+        .where(F.col("containment") >= threshold)
+        .select("id_a", "id_b", "containment")
     )
 
 

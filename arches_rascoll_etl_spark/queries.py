@@ -2129,3 +2129,43 @@ def q64(spark, sf):
         "doc_id", rs["n_lines"], rs["n_words"],
         rs["dup_line_frac"], rs["dup_word_frac"], rs["dup_bigram_frac"],
     )
+
+
+@query(
+    "q65_ngram_containment_pairs",
+    """
+    WITH words AS (
+      SELECT doc_id, source, regexp_split_to_array(TRIM(text), '\\s+') AS w FROM documents
+    ),
+    grams AS (
+      SELECT doc_id, source,
+             list_distinct([array_to_string(w[i:i+2], ' ') for i in range(1, GREATEST(len(w) - 2, 1) + 1)]) AS sh
+      FROM words
+    ),
+    exploded AS (SELECT doc_id, source, UNNEST(sh) AS s FROM grams),
+    sizes AS (SELECT doc_id, len(sh) AS n_sh FROM grams),
+    freq AS (SELECT source, s, COUNT(*) AS df FROM exploded GROUP BY 1, 2),
+    kept AS (SELECT e.doc_id, e.source, e.s FROM exploded e JOIN freq USING (source, s) WHERE df <= 1000),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
+      FROM kept a JOIN kept b ON a.s = b.s AND a.source = b.source AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b,
+           CAST(n_inter AS DOUBLE) / LEAST(sa.n_sh, sb.n_sh) AS containment
+    FROM inter JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+    WHERE CAST(n_inter AS DOUBLE) / LEAST(sa.n_sh, sb.n_sh) >= 0.10
+    """,
+)
+def q65(spark, sf):
+    """Word-trigram containment ≥ 0.10 blocked by source (operators/
+    dedup.py ngram_containment_pairs): the subset/superset dedup pass —
+    |A∩B| / min(|A|,|B|) catches a short doc quoted inside a long one,
+    which Jaccard (q29) structurally scores near zero. Shares the
+    sub-quadratic shingle self-join core with q29 (same explode, same
+    doc-frequency cap); only the scoring expression differs."""
+    d = _t(spark, sf, "documents")
+    return dedup.ngram_containment_pairs(
+        d, "doc_id", "text", block_col="source", k_words=3,
+        threshold=0.10, max_doc_freq=1000,
+    )

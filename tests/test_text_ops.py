@@ -114,6 +114,31 @@ def test_ngram_jaccard_pairs(spark):
     assert not any(3 in k for k in out)
 
 
+def test_ngram_containment_pairs(spark):
+    # doc 2 is doc 1's first half verbatim: Jaccard is diluted by doc 1's
+    # extra grams (≈ 3/9) but containment is exactly 1.0; doc 3 is disjoint.
+    rows = [
+        (1, "a b c d e f g h i j"),
+        (2, "a b c d"),
+        (3, "z y x w v u t s"),
+    ]
+    df = spark.createDataFrame(rows, "id long, text string")
+    out = {
+        (r.id_a, r.id_b): r.containment
+        for r in dedup.ngram_containment_pairs(
+            df, "id", "text", k_words=2, threshold=0.8
+        ).collect()
+    }
+    assert out == {(1, 2): 1.0}
+    jac = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in dedup.ngram_jaccard_pairs(
+            df, "id", "text", k_words=2, threshold=0.0
+        ).collect()
+    }
+    assert jac[(1, 2)] < 0.5  # the pair Jaccard structurally under-scores
+
+
 def _simhash_ref(text: str) -> int:
     """Independent reference implementation (plain Python loops): token
     hash = top 64 bits of md5, ±1 bit votes, two's-complement packing."""
