@@ -327,6 +327,55 @@ def ngram_containment_pairs(
     )
 
 
+def decontaminate(
+    train: DataFrame,
+    eval_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k_words: int = 8,
+    min_hits: int = 1,
+    broadcast_eval: bool = True,
+) -> DataFrame:
+    """Test-set contamination report: training docs sharing ≥ ``min_hits``
+    distinct word ``k_words``-grams with ANY eval/benchmark doc.
+
+    Returns (train_id, n_gram_hits, n_eval_docs): how many distinct train
+    k-grams appear somewhere in the eval corpus, and how many distinct
+    eval docs are implicated. Downstream policy (drop the doc, mask the
+    span, keep + tag) is the caller's; this op only measures.
+
+    Scale shape: the eval side of the join is the gram inventory of the
+    BENCHMARK suite — thousands of docs, not the 100-TB train corpus — so
+    with ``broadcast_eval`` (default) it ships to every executor and the
+    train side never shuffles: one explode fused into the train scan, one
+    broadcast-hash join, one partial-agg'd groupBy on train_id. Set it
+    False for an eval corpus too big to pin in executor memory (falls
+    back to a shuffle hash join on the gram key).
+
+    Reference parity: the reference has no decontamination (it loads
+    curated museum records); this is part of the training-data surface
+    the brief adds on top (SURVEY §2.10)."""
+    tg = train.select(
+        _c(id_col).alias("train_id"),
+        F.explode(word_shingles(_c(text_col), k_words)).alias("gram"),
+    )
+    eg = eval_df.select(
+        _c(id_col).alias("eval_id"),
+        F.explode(word_shingles(_c(text_col), k_words)).alias("gram"),
+    )
+    if broadcast_eval:
+        eg = F.broadcast(eg)
+    return (
+        tg.join(eg, "gram")
+        .groupBy("train_id")
+        .agg(
+            F.countDistinct("gram").alias("n_gram_hits"),
+            F.countDistinct("eval_id").alias("n_eval_docs"),
+        )
+        .where(F.col("n_gram_hits") >= min_hits)
+    )
+
+
 def simhash_table(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """(_id, simhash): 64-bit SimHash over word tokens as pure Column
     expressions — no Python anywhere.

@@ -2169,3 +2169,40 @@ def q65(spark, sf):
         d, "doc_id", "text", block_col="source", k_words=3,
         threshold=0.10, max_doc_freq=1000,
     )
+
+
+def _q66_oracle() -> str:
+    # split CTE generated from the same constants as curation.hash_split
+    # (first 16 bits of md5 mod 100); gram CTEs mirror dedup.word_shingles
+    # at k=4 (w[i:i+3] spans 4 words in DuckDB's inclusive slice)
+    hx = "md5(CAST(doc_id AS VARCHAR))"
+    val = " + ".join(f"{_sql_hexval(hx, i + 1)}*{16 ** (3 - i)}" for i in range(4))
+    grams = (
+        "list_distinct([array_to_string(w[i:i+3], ' ')"
+        " for i in range(1, GREATEST(len(w) - 3, 1) + 1)])"
+    )
+    return f"""
+    WITH s AS (SELECT doc_id, text, ({val}) % 100 AS b FROM documents),
+    tw AS (SELECT doc_id, regexp_split_to_array(TRIM(text), '\\s+') AS w FROM s WHERE b < 90),
+    ew AS (SELECT doc_id, regexp_split_to_array(TRIM(text), '\\s+') AS w FROM s WHERE b >= 95),
+    tg AS (SELECT doc_id AS train_id, UNNEST({grams}) AS gram FROM tw),
+    eg AS (SELECT doc_id AS eval_id, UNNEST({grams}) AS gram FROM ew)
+    SELECT train_id, COUNT(DISTINCT gram) AS n_gram_hits,
+           COUNT(DISTINCT eval_id) AS n_eval_docs
+    FROM tg JOIN eg USING (gram) GROUP BY train_id
+    """
+
+
+@query("q66_decontamination", _q66_oracle())
+def q66(spark, sf):
+    """Test-set decontamination report (operators/dedup.py decontaminate):
+    the train split (q49's content-addressed hash_split, bucket < 90)
+    checked for 4-gram overlap against the held-out test split (bucket ≥
+    95). The eval side is broadcast — thousands of benchmark docs vs the
+    100-TB train corpus — so the train side never shuffles: explode fused
+    into the scan, broadcast-hash join, partial-agg'd groupBy train_id."""
+    d = _t(spark, sf, "documents")
+    b = CU.hash_split_bucket("doc_id")
+    return dedup.decontaminate(
+        d.where(b < 90), d.where(b >= 95), "doc_id", "text", k_words=4
+    )

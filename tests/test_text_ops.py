@@ -139,6 +139,29 @@ def test_ngram_containment_pairs(spark):
     assert jac[(1, 2)] < 0.5  # the pair Jaccard structurally under-scores
 
 
+def test_decontaminate(spark):
+    train = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),  # contains eval 4-gram
+            (2, "completely unrelated training text here now"),
+            (3, "quick brown fox jumps and quick brown fox jumps"),  # same gram twice → 1 distinct hit
+        ],
+        "id long, text string",
+    )
+    ev = spark.createDataFrame(
+        [(10, "quick brown fox jumps high"), (11, "nothing shared at all whatsoever")],
+        "id long, text string",
+    )
+    res = dedup.decontaminate(train, ev, "id", "text", k_words=4)
+    out = {r.train_id: (r.n_gram_hits, r.n_eval_docs) for r in res.collect()}
+    assert out == {1: (1, 1), 3: (1, 1)}
+    # eval side must be broadcast: the train corpus never shuffles
+    assert "BroadcastHashJoin" in res._jdf.queryExecution().executedPlan().toString()
+    # non-broadcast fallback keeps identical semantics
+    res2 = dedup.decontaminate(train, ev, "id", "text", k_words=4, broadcast_eval=False)
+    assert {r.train_id: (r.n_gram_hits, r.n_eval_docs) for r in res2.collect()} == out
+
+
 def _simhash_ref(text: str) -> int:
     """Independent reference implementation (plain Python loops): token
     hash = top 64 bits of md5, ±1 bit votes, two's-complement packing."""
