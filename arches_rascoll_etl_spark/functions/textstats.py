@@ -206,3 +206,27 @@ def repetition_stats(col: Column | str) -> dict[str, Column]:
         "dup_word_frac": _dup_frac(words).alias("dup_word_frac"),
         "dup_bigram_frac": _dup_frac(bigrams).alias("dup_bigram_frac"),
     }
+
+
+def top_ngrams(
+    df, text_col: str, k_words: int = 2, top_n: int = 20
+):
+    """Corpus heavy hitters: the ``top_n`` word ``k_words``-grams by
+    DOCUMENT frequency (each doc votes once per distinct gram), with the
+    gram string as a deterministic tiebreak. Returns (gram, doc_freq).
+
+    This is the discovery side of boilerplate handling: the grams this
+    surfaces become ngram_jaccard_pairs' ``max_doc_freq`` casualties and
+    PII/license-header strip lists. Shape at scale: explode fused into the
+    scan → one map-side-combined hash agg on the gram → TakeOrderedAndProject
+    (per-partition top-n, then a top-n merge on the driver — never a global
+    sort; verified in tests/test_text_ops.py)."""
+    from ..operators.dedup import word_shingles
+
+    return (
+        df.select(F.explode(word_shingles(_c(text_col), k_words)).alias("gram"))
+        .groupBy("gram")
+        .agg(F.count("*").alias("doc_freq"))
+        .orderBy(F.desc("doc_freq"), F.asc("gram"))
+        .limit(top_n)
+    )

@@ -2206,3 +2206,29 @@ def q66(spark, sf):
     return dedup.decontaminate(
         d.where(b < 90), d.where(b >= 95), "doc_id", "text", k_words=4
     )
+
+
+@query(
+    "q67_top_ngrams",
+    """
+    WITH words AS (
+      SELECT doc_id, regexp_split_to_array(TRIM(text), '\\s+') AS w FROM documents
+    ),
+    grams AS (
+      SELECT doc_id,
+             UNNEST(list_distinct([array_to_string(w[i:i+1], ' ') for i in range(1, GREATEST(len(w) - 1, 1) + 1)])) AS gram
+      FROM words
+    )
+    SELECT gram, COUNT(*) AS doc_freq FROM grams
+    GROUP BY gram ORDER BY doc_freq DESC, gram LIMIT 20
+    """,
+)
+def q67(spark, sf):
+    """Corpus heavy-hitter bigrams by document frequency (functions/
+    textstats.py top_ngrams): boilerplate discovery — what to feed the
+    doc-frequency caps and strip lists. (doc_freq DESC, gram ASC) is a
+    total order, so the LIMIT is deterministic on both engines; Spark
+    plans it as TakeOrderedAndProject (per-partition top-n + driver
+    merge), never a global sort."""
+    d = _t(spark, sf, "documents")
+    return TS.top_ngrams(d, "text", k_words=2, top_n=20)

@@ -396,3 +396,18 @@ def test_repetition_stats(spark):
     assert rows[2]["dup_word_frac"] == 0.0 == rows[2]["dup_bigram_frac"]
     assert rows[3]["dup_word_frac"] == 0.0 and rows[3]["dup_bigram_frac"] == 0.0
     assert rows[4]["n_words"] == 1 and rows[4]["dup_bigram_frac"] == 0.0
+
+
+def test_top_ngrams(spark):
+    from arches_rascoll_etl_spark.functions import textstats as TS
+
+    df = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a b c"), (3, "b c d")],
+        "id long, text string",
+    )
+    res = TS.top_ngrams(df, "text", k_words=2, top_n=2)
+    # doc freq: "a b"→2, "b c"→2, "b a"→1, "c d"→1; tiebreak gram ASC
+    assert [(r.gram, r.doc_freq) for r in res.collect()] == [("a b", 2), ("b c", 2)]
+    # top-n must be TakeOrderedAndProject (partial top-n), never a global Sort
+    plan = res._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
