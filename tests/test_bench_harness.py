@@ -148,3 +148,26 @@ def test_modal_config_selects_by_count_not_score():
     assert len(pool) == 3
     assert all(w["sha_rounds"] == 4000 for w in pool)
     assert _modal_config([]) == []
+
+
+def test_sweep_patterns_spare_local_pyspark_jvms():
+    """The stale-cluster sweep must never match a LOCAL pyspark session's
+    JVM command line (pytest / oracle self-checks) — only standalone-master
+    cluster processes. pgrep -f is a substring match, so substring checks
+    here mirror exactly what the sweep kills."""
+    sys.path.insert(0, str(ROOT / "tools"))
+    from standalone_cluster import _SWEEP_PATTERNS
+
+    local_pyspark = (
+        "/usr/lib/jvm/java-17/bin/java -cp /opt/spark/jars/* "
+        "org.apache.spark.deploy.SparkSubmit --conf spark.master=local[8] pyspark-shell"
+    )
+    cluster_submit = (
+        "java -cp /opt/spark/jars/* org.apache.spark.deploy.SparkSubmit "
+        "--master spark://127.0.0.1:58213 --conf spark.cores.max=2 "
+        "tools/replay_submit_main.py --cores 2"
+    )
+    master = "java org.apache.spark.deploy.master.Master --host 127.0.0.1"
+    assert not any(p in local_pyspark for p in _SWEEP_PATTERNS)
+    assert any(p in cluster_submit for p in _SWEEP_PATTERNS)
+    assert any(p in master for p in _SWEEP_PATTERNS)

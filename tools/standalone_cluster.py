@@ -38,6 +38,20 @@ SPARK_CLASS = os.path.join(SPARK_HOME, "bin", "spark-class")
 SPARK_SUBMIT = os.path.join(SPARK_HOME, "bin", "spark-submit")
 
 
+# pgrep -f substring patterns for orphaned cluster processes. The
+# SparkSubmit pattern MUST be anchored to a standalone-master submission
+# ("--master spark://"): a plain-"SparkSubmit" match also hits every
+# concurrent LOCAL pyspark JVM on the box (pytest sessions, oracle
+# self-checks — they launch as `SparkSubmit ... pyspark-shell`), and the
+# un-anchored sweep was observed SIGKILLing a green test run mid-collect.
+_SWEEP_PATTERNS = (
+    "org.apache.spark.deploy.master.Master",
+    "org.apache.spark.deploy.worker.Worker",
+    "org.apache.spark.deploy.SparkSubmit --master spark://",
+    "replay_submit_main.py",
+)
+
+
 def sweep_stale_clusters() -> int:
     """Kill orphaned master/worker/replay-submit processes from a previous
     run whose parent died without __exit__ (crashed session, external
@@ -47,12 +61,7 @@ def sweep_stale_clusters() -> int:
     Returns the number of processes killed."""
     import signal
 
-    pats = (
-        "org.apache.spark.deploy.master.Master",
-        "org.apache.spark.deploy.worker.Worker",
-        "org.apache.spark.deploy.SparkSubmit",
-        "replay_submit_main.py",
-    )
+    pats = _SWEEP_PATTERNS
     killed = 0
     me = os.getpid()
 
