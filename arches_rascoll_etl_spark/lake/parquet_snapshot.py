@@ -161,6 +161,7 @@ class SnapshotTable(LakeTable):
         op_col: str = "op",
         n_buckets: int = 32,
         merge_mode: str = "cow",
+        stats_cols: Iterable[str] | None = None,
     ):
         if merge_mode not in ("cow", "mor"):
             raise ValueError(f"merge_mode must be 'cow' or 'mor' (got {merge_mode!r})")
@@ -175,6 +176,14 @@ class SnapshotTable(LakeTable):
         # the fold to read/compact (write-optimized — Iceberg v2 MOR
         # analogue; see merge() docstring for the 100-TB trade-off)
         self.merge_mode = merge_mode
+        # manifest-level file skipping (Iceberg data-file metrics analogue):
+        # when set, every commit records per-file [min, max] for these
+        # columns (read from the just-written parquet FOOTERS — no extra
+        # data pass; carried forward by path for surviving files), and
+        # read_range() prunes files from the manifest alone — zero file
+        # opens for out-of-range files, which at 100 TB is the difference
+        # between a planning step and a million footer reads
+        self.stats_cols = list(stats_cols) if stats_cols else []
         # committed_batch_ids incremental cache: (version it covers, ids)
         self._bid_cache: tuple[int | None, set[str] | None] = (None, None)
         os.makedirs(os.path.join(path, "manifests"), exist_ok=True)
@@ -251,7 +260,76 @@ class SnapshotTable(LakeTable):
         # snapshots — pre-MOR manifests stay valid and byte-identical)
         if delta_files:
             m["delta_files"] = {b: fl for b, fl in delta_files.items() if fl}
+        stats = self._collect_file_stats(parent, files, delta_files)
+        if stats:
+            m["file_stats"] = stats
         return m
+
+    def _collect_file_stats(
+        self, parent: int | None, files: dict, delta_files: dict | None
+    ) -> dict:
+        """Per-file column [min, max] for the new manifest: carried forward
+        by relative path for files surviving from the parent snapshot
+        (carry even when this handle has no stats_cols, so a stats-less
+        writer can't strip another writer's pruning metadata), footer-read
+        for files new in this commit when stats_cols is set."""
+        carried: dict = {}
+        if parent is not None:
+            # raw read, NOT _load_manifest: its validation ADOPTS the
+            # parent's n_buckets onto this handle, which would silently
+            # undo a rebucket() mid-commit (observed: rebucket(64) left
+            # the handle at the old count). Stats harvesting needs no
+            # layout validation.
+            with open(self._manifest_path(parent)) as f:
+                carried = json.load(f).get("file_stats") or {}
+        out: dict = {}
+        for fmap in (files, delta_files or {}):
+            for fl in fmap.values():
+                for f in fl:
+                    prev = carried.get(f)
+                    if prev is not None:
+                        out[f] = prev
+                    elif self.stats_cols:
+                        st = self._footer_stats(f)
+                        if st:
+                            out[f] = st
+        return out
+
+    def _footer_stats(self, relpath: str) -> dict:
+        """{col: [min, max]} for stats_cols from one parquet FOOTER (row-
+        group statistics — no data pages are read). Only JSON-portable
+        scalar types (int/float/str/bool) are recorded; a column with any
+        stats-less or exotic-typed row group is omitted, which read_range
+        treats as unprunable — conservative, never wrong. Stats include
+        tombstone rows, which can only WIDEN a range: also conservative."""
+        import pyarrow.parquet as pq
+
+        md = pq.ParquetFile(os.path.join(self.path, relpath)).metadata
+        if md.num_row_groups == 0:
+            return {}
+        idx = {
+            md.row_group(0).column(j).path_in_schema: j
+            for j in range(md.row_group(0).num_columns)
+        }
+        out = {}
+        for col in self.stats_cols:
+            j = idx.get(col)
+            if j is None:
+                continue
+            mins, maxs = [], []
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(j).statistics
+                if st is None or not st.has_min_max:
+                    mins = []
+                    break
+                mins.append(st.min)
+                maxs.append(st.max)
+            if not mins:
+                continue
+            lo, hi = min(mins), max(maxs)
+            if all(isinstance(v, (int, float, str, bool)) for v in (lo, hi)):
+                out[col] = [lo, hi]
+        return out
 
     @staticmethod
     def _delta_map(m: dict) -> dict[str, list[str]]:
@@ -597,6 +675,51 @@ class SnapshotTable(LakeTable):
         return (
             out.where(_F.coalesce(_F.col(self.op_col), _F.lit("U")) != "D")
             .drop(self.op_col)
+        )
+
+    def read_range(
+        self, col: str, lo, hi, version: int | None = None
+    ) -> DataFrame:
+        """Stats-pruned range scan: live rows with lo <= col <= hi, opening
+        ONLY the data files whose manifest [min, max] for ``col`` intersects
+        the range (Iceberg data-file metrics pruning analogue; requires the
+        table to have been written with ``stats_cols``). Files without
+        recorded stats are always read — conservative, never wrong.
+
+        MOR caveat: a delta-bearing bucket is read IN FULL and resolved
+        before the filter. Pruning pre-resolution rows there would be
+        unsound both ways — a pruned base row could otherwise win against
+        a superseding out-of-range delta, and a pruned delta could let a
+        stale in-range base row resurface. (Value predicates do NOT commute
+        with per-key LWW, unlike read_keys' key predicates, which do.)
+        Compaction folds deltas into stats-bearing base files and restores
+        pruning. Correctness does not depend on pruning at all: the full
+        predicate is re-applied to the scanned rows, so stats only decide
+        which files open."""
+        v = self._current_version() if version is None else version
+        if v is None:
+            raise FileNotFoundError(f"table {self.path} has no snapshots")
+        m = self._load_manifest(v)
+        stats = m.get("file_stats") or {}
+        deltas = self._delta_map(m)
+
+        def _may_match(f: str) -> bool:
+            rng = stats.get(f, {}).get(col)
+            if not rng:
+                return True
+            mn, mx = rng
+            return not (mx < lo or mn > hi)
+
+        pruned = dict(m)
+        pruned["files"] = {
+            b: (fl if deltas.get(b) else [f for f in fl if _may_match(f)])
+            for b, fl in m["files"].items()
+        }
+        df = self._resolved_stored(pruned)
+        return (
+            df.where(F.coalesce(F.col(self.op_col), F.lit("U")) != "D")
+            .drop(self.op_col)
+            .where(F.col(col).between(F.lit(lo), F.lit(hi)))
         )
 
     # ---------- write ----------

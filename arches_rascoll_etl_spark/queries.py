@@ -2232,3 +2232,49 @@ def q67(spark, sf):
     merge), never a global sort."""
     d = _t(spark, sf, "documents")
     return TS.top_ngrams(d, "text", k_words=2, top_n=20)
+
+
+@query(
+    "q68_lake_stats_pruned_scan",
+    """
+    SELECT user_id, event_type, content, commit_seq FROM (
+      SELECT user_id, event_type, value AS content, event_id AS commit_seq,
+             CASE WHEN value < 1 THEN 'D' ELSE 'U' END AS op,
+             ROW_NUMBER() OVER (PARTITION BY user_id, event_type ORDER BY event_id DESC) AS rn
+      FROM events
+    ) WHERE rn = 1 AND op <> 'D' AND content BETWEEN 50 AND 80
+    """,
+)
+def q68(spark, sf):
+    """Manifest-level file skipping end-to-end (lake/parquet_snapshot.py
+    read_range): replay the events CDC log into a SnapshotTable carrying
+    per-file [min, max] stats for the payload column (collected from the
+    just-written parquet FOOTERS at commit — Iceberg data-file metrics
+    analogue), then answer a value-range scan that prunes files from the
+    manifest alone before any file opens. Correctness never depends on
+    the stats — the predicate is re-applied to scanned rows — so the
+    oracle is the plain LWW final state filtered by the same range."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from .lake.parquet_snapshot import SnapshotTable
+
+    ev = _t(spark, sf, "events").select(
+        F.col("user_id"),
+        F.col("event_type"),
+        F.col("value").alias("content"),
+        F.col("event_id").alias("commit_seq"),
+        F.when(F.col("value") < 1, "D").otherwise("U").alias("op"),
+    )
+    d = tempfile.mkdtemp(prefix="q68_lake_stats_")
+    atexit.register(shutil.rmtree, d, ignore_errors=True)
+    tbl = SnapshotTable(
+        spark, d, key_cols=("user_id", "event_type"),
+        order_cols=("commit_seq",), n_buckets=16, stats_cols=["content"],
+    )
+    tbl.merge(ev.where(F.pmod("commit_seq", F.lit(2)) == 0), batch_id="even")
+    tbl.merge(ev.where(F.pmod("commit_seq", F.lit(2)) == 1), batch_id="odd")
+    return tbl.read_range("content", 50.0, 80.0).select(
+        "user_id", "event_type", "content", "commit_seq"
+    )
