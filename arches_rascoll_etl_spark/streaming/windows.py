@@ -52,3 +52,28 @@ def streaming_tumbling_agg(
         *group_cols,
         *[c for c in out.columns if c != "_w" and c not in group_cols],
     )
+
+
+def streaming_dedup(
+    stream_df: DataFrame,
+    key_cols: Sequence[str],
+    ts_col: str,
+    watermark_delay: str,
+) -> DataFrame:
+    """At-least-once → effectively-once event feed: drop re-deliveries of
+    the same change event (same ``key_cols`` identity — for a CDC log that
+    is the full (repo, path, commit) event identity, NOT just the row key)
+    arriving within the watermark horizon.
+
+    Built on ``dropDuplicatesWithinWatermark``: dedup state is evicted once
+    the watermark passes an event's timestamp, so state is bounded by
+    horizon × event rate — a plain streaming ``dropDuplicates`` would pin
+    every identity ever seen (unbounded at 10^10 events). Re-deliveries
+    straggling in LATER than the horizon are not this operator's problem
+    by design: they reach the sink, where the idempotent batch-id commit
+    and the LWW merge (same identity ⇒ same winner) absorb them — the
+    standard two-layer contract: cheap in-horizon dedup here, exactness at
+    the sink."""
+    return stream_df.withWatermark(ts_col, watermark_delay).dropDuplicatesWithinWatermark(
+        list(key_cols)
+    )

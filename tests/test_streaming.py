@@ -253,3 +253,69 @@ def test_stream_mor_auto_compact(spark, tmp_path):
     events = [r.asDict() for r in log.collect()]
     assert got == oracle.final_rows(events)
     assert tbl.delta_debt()["max_delta_files"] < 2
+
+
+def test_streaming_dedup_within_watermark(spark, tmp_path):
+    """At-least-once re-deliveries of the same event identity — within one
+    micro-batch AND across micro-batches inside the watermark horizon —
+    collapse to one emitted row; distinct identities all survive."""
+    import datetime
+    import os
+
+    from pyspark.sql import types as T
+
+    from arches_rascoll_etl_spark.streaming.windows import streaming_dedup
+
+    schema = T.StructType(
+        [
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("repo", T.StringType()),
+            T.StructField("commit", T.StringType()),
+        ]
+    )
+    base = 1_700_000_400
+
+    def ts(mins):
+        return datetime.datetime.fromtimestamp(
+            base + mins * 60, datetime.timezone.utc
+        ).replace(tzinfo=None)
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    # batch 1 (3 rows): c1 delivered twice in-batch + c2 once
+    spark.createDataFrame(
+        [(ts(0), "r1", "c1"), (ts(0), "r1", "c1"), (ts(1), "r1", "c2")], schema
+    ).coalesce(1).write.mode("append").parquet(src)
+    # batch 2 (2 rows): c1 re-delivered across batches (in horizon) + c3
+    spark.createDataFrame(
+        [(ts(2), "r1", "c1"), (ts(3), "r1", "c3")], schema
+    ).coalesce(1).write.mode("append").parquet(src)
+    import pyarrow.parquet as pq
+
+    files = sorted(
+        (os.path.join(src, f) for f in os.listdir(src) if f.endswith(".parquet")),
+        key=lambda f: pq.ParquetFile(f).metadata.num_rows,
+        reverse=True,
+    )
+    assert len(files) == 2
+    for i, f in enumerate(files):
+        os.utime(f, (1_000_000 + i * 1000, 1_000_000 + i * 1000))
+
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    out = streaming_dedup(stream, ["repo", "commit"], "ts", "30 minutes")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("dedup_sink")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = [
+        (r["repo"], r["commit"])
+        for r in spark.sql("SELECT * FROM dedup_sink").collect()
+    ]
+    assert sorted(got) == [("r1", "c1"), ("r1", "c2"), ("r1", "c3")]
