@@ -186,6 +186,13 @@ class SnapshotTable(LakeTable):
         self.stats_cols = list(stats_cols) if stats_cols else []
         # committed_batch_ids incremental cache: (version it covers, ids)
         self._bid_cache: tuple[int | None, set[str] | None] = (None, None)
+        # file_stats carry cache: (version, its file_stats dict). Populated
+        # only on this handle's own successful _commit, so it can never hold
+        # stats for a version another writer won — a parent written by
+        # someone else misses the cache and falls back to the file read.
+        # Keeps the steady-state merge loop free of a per-commit parent-
+        # manifest re-read (pure serial driver cost at high merge rates).
+        self._stats_cache: tuple[int | None, dict | None] = (None, None)
         os.makedirs(os.path.join(path, "manifests"), exist_ok=True)
         os.makedirs(os.path.join(path, "data"), exist_ok=True)
 
@@ -275,13 +282,21 @@ class SnapshotTable(LakeTable):
         for files new in this commit when stats_cols is set."""
         carried: dict = {}
         if parent is not None:
-            # raw read, NOT _load_manifest: its validation ADOPTS the
-            # parent's n_buckets onto this handle, which would silently
-            # undo a rebucket() mid-commit (observed: rebucket(64) left
-            # the handle at the old count). Stats harvesting needs no
-            # layout validation.
-            with open(self._manifest_path(parent)) as f:
-                carried = json.load(f).get("file_stats") or {}
+            cached_v, cached_stats = self._stats_cache
+            if cached_v == parent and cached_stats is not None:
+                carried = cached_stats
+            else:
+                # raw read, NOT _load_manifest: its validation ADOPTS the
+                # parent's n_buckets onto this handle, which would silently
+                # undo a rebucket() mid-commit (observed: rebucket(64) left
+                # the handle at the old count). Stats harvesting needs no
+                # layout validation.
+                with open(self._manifest_path(parent)) as f:
+                    carried = json.load(f).get("file_stats") or {}
+        if not carried and not self.stats_cols:
+            # stats-less table: nothing to carry, nothing to harvest —
+            # skip the file walk (hot per-commit path in replay loops)
+            return {}
         out: dict = {}
         for fmap in (files, delta_files or {}):
             for fl in fmap.values():
@@ -359,6 +374,10 @@ class SnapshotTable(LakeTable):
                 "re-read the head and redo the merge"
             ) from None
         os.unlink(attempt)
+        # cache THIS handle's committed stats so the next commit's carry
+        # step needs no parent-manifest re-read (see _collect_file_stats);
+        # set only after the link wins, so a lost race never poisons it
+        self._stats_cache = (version, manifest.get("file_stats") or {})
 
     def exists(self) -> bool:
         return self._current_version() is not None

@@ -33,12 +33,18 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--events", type=int, default=8_000_000)
-    ap.add_argument("--sha-rounds", type=int, default=1)
-    ap.add_argument("--sha-mode", choices=("repeat", "fold"), default="repeat")
+    # default matches the MAIN scaling cohort (150k events / fold / 4000
+    # rounds / 2 cores-per-worker): a bare launch contributes to the cohort
+    # the report reads. 8M events at 4000 fold rounds CANNOT finish inside
+    # the 900 s replay timeout on the 2-core side — a mis-launch burns the
+    # whole deadline producing nothing (observed 2026-08-19: 4×
+    # "lo: TimeoutExpired", zero windows).
+    ap.add_argument("--events", type=int, default=150_000)
+    ap.add_argument("--sha-rounds", type=int, default=4000)
+    ap.add_argument("--sha-mode", choices=("repeat", "fold"), default="fold")
     ap.add_argument("--target-valid", type=int, default=1)
     ap.add_argument("--deadline-min", type=float, default=90.0)
-    ap.add_argument("--cores-per-worker", type=int, default=4)
+    ap.add_argument("--cores-per-worker", type=int, default=2)
     ap.add_argument("--memtouch-floor", type=float, default=1e9)
     ap.add_argument("--log", default=os.path.join(ROOT, "BENCH", "hunt_log.jsonl"))
     args = ap.parse_args()
