@@ -376,6 +376,56 @@ def decontaminate(
     )
 
 
+def decontaminate_prefiltered(
+    train: DataFrame,
+    eval_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k_words: int = 8,
+    min_hits: int = 1,
+) -> DataFrame:
+    """:func:`decontaminate` with a broadcast runtime prefilter — same
+    exact result, built for the regime where even the eval gram table is
+    an expensive broadcast.
+
+    Phase 1 ships only DISTINCT 8-byte ``xxhash64(gram)`` longs of the
+    eval suite (an order of magnitude smaller than the gram strings an
+    ``k_words``-word shingle carries) and left-semi-joins the train gram
+    stream against them — the same shape Catalyst's own runtime-filter
+    injection uses, expressed explicitly so the filter survives plan
+    changes. At 100 TB virtually every train gram dies here, inside the
+    scan stage, before any aggregation state exists.
+
+    Phase 2 re-joins the tiny survivor set against the real gram strings,
+    so an xxhash64 collision can never fabricate a hit — the output is
+    bit-identical to the single-phase operator (and to the SQL oracle),
+    never approximate. The verify join is broadcast too: survivors are
+    rare and the eval side is the benchmark suite, not the corpus."""
+    tg = train.select(
+        _c(id_col).alias("train_id"),
+        F.explode(word_shingles(_c(text_col), k_words)).alias("gram"),
+    )
+    eg = eval_df.select(
+        _c(id_col).alias("eval_id"),
+        F.explode(word_shingles(_c(text_col), k_words)).alias("gram"),
+    )
+    gram_hashes = eg.select(F.xxhash64("gram").alias("_gh")).distinct()
+    survivors = (
+        tg.withColumn("_gh", F.xxhash64("gram"))
+        .join(F.broadcast(gram_hashes), "_gh", "left_semi")
+        .drop("_gh")
+    )
+    return (
+        survivors.join(F.broadcast(eg), "gram")
+        .groupBy("train_id")
+        .agg(
+            F.countDistinct("gram").alias("n_gram_hits"),
+            F.countDistinct("eval_id").alias("n_eval_docs"),
+        )
+        .where(F.col("n_gram_hits") >= min_hits)
+    )
+
+
 def simhash_table(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """(_id, simhash): 64-bit SimHash over word tokens as pure Column
     expressions — no Python anywhere.

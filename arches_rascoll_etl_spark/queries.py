@@ -2278,3 +2278,88 @@ def q68(spark, sf):
     return tbl.read_range("content", 50.0, 80.0).select(
         "user_id", "event_type", "content", "commit_seq"
     )
+
+
+def _q69_oracle() -> str:
+    # identical contamination formula to q66 (the prefilter is a pure
+    # performance move — exact verify means the result set cannot differ),
+    # at k_words=3 (w[i:i+2] spans 3 words in DuckDB's inclusive slice)
+    hx = "md5(CAST(doc_id AS VARCHAR))"
+    val = " + ".join(f"{_sql_hexval(hx, i + 1)}*{16 ** (3 - i)}" for i in range(4))
+    grams = (
+        "list_distinct([array_to_string(w[i:i+2], ' ')"
+        " for i in range(1, GREATEST(len(w) - 2, 1) + 1)])"
+    )
+    return f"""
+    WITH s AS (SELECT doc_id, text, ({val}) % 100 AS b FROM documents),
+    tw AS (SELECT doc_id, regexp_split_to_array(TRIM(text), '\\s+') AS w FROM s WHERE b < 90),
+    ew AS (SELECT doc_id, regexp_split_to_array(TRIM(text), '\\s+') AS w FROM s WHERE b >= 95),
+    tg AS (SELECT doc_id AS train_id, UNNEST({grams}) AS gram FROM tw),
+    eg AS (SELECT doc_id AS eval_id, UNNEST({grams}) AS gram FROM ew)
+    SELECT train_id, COUNT(DISTINCT gram) AS n_gram_hits,
+           COUNT(DISTINCT eval_id) AS n_eval_docs
+    FROM tg JOIN eg USING (gram) GROUP BY train_id
+    """
+
+
+@query("q69_decontamination_prefiltered", _q69_oracle())
+def q69(spark, sf):
+    """Runtime-prefiltered decontamination (operators/dedup.py
+    decontaminate_prefiltered): phase 1 left-semi-joins the train gram
+    stream against broadcast DISTINCT xxhash64(gram) longs of the eval
+    suite — 8 bytes per gram instead of the gram string, dying inside the
+    scan stage at 100 TB; phase 2 exact-verifies survivors against the
+    real gram strings, so a hash collision can never fabricate a hit and
+    the result is bit-identical to the single-phase operator. Same splits
+    as q66 (content-addressed hash_split: train bucket < 90, eval ≥ 95)
+    at k_words=3."""
+    d = _t(spark, sf, "documents")
+    b = CU.hash_split_bucket("doc_id")
+    return dedup.decontaminate_prefiltered(
+        d.where(b < 90), d.where(b >= 95), "doc_id", "text", k_words=3
+    )
+
+
+@query(
+    "q70_table_profile",
+    """
+    WITH base AS (SELECT doc_id, lang, source, n_chars FROM documents),
+    n AS (SELECT COUNT(*) AS n_rows FROM base)
+    SELECT p.col_name, n.n_rows, p.n_nulls, p.n_distinct, p.min_value, p.max_value
+    FROM (
+      SELECT 'doc_id' AS col_name,
+             CAST(SUM(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+             COUNT(DISTINCT doc_id) AS n_distinct,
+             CAST(MIN(doc_id) AS VARCHAR) AS min_value,
+             CAST(MAX(doc_id) AS VARCHAR) AS max_value FROM base
+      UNION ALL
+      SELECT 'lang',
+             CAST(SUM(CASE WHEN lang IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+             COUNT(DISTINCT lang),
+             CAST(MIN(lang) AS VARCHAR), CAST(MAX(lang) AS VARCHAR) FROM base
+      UNION ALL
+      SELECT 'source',
+             CAST(SUM(CASE WHEN source IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+             COUNT(DISTINCT source),
+             CAST(MIN(source) AS VARCHAR), CAST(MAX(source) AS VARCHAR) FROM base
+      UNION ALL
+      SELECT 'n_chars',
+             CAST(SUM(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+             COUNT(DISTINCT n_chars),
+             CAST(MIN(n_chars) AS VARCHAR), CAST(MAX(n_chars) AS VARCHAR) FROM base
+    ) p CROSS JOIN n
+    """,
+)
+def q70(spark, sf):
+    """Exact one-pass column profile of the documents table (functions/
+    profiling.py profile_table): row count, per-column null counts,
+    exact cardinalities and stringified min/max in ONE distributed
+    aggregation (single scan; the multi-column exact count_distinct is
+    the lone Expand — profile_table(exact=False) swaps in HLL++ and
+    collapses it for the 100-TB default). Profiles the int/string
+    columns; float/timestamp renderings aren't byte-portable across
+    engines, so the oracle-checked set excludes them."""
+    from .functions.profiling import profile_table
+
+    d = _t(spark, sf, "documents").select("doc_id", "lang", "source", "n_chars")
+    return profile_table(d, exact=True)

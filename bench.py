@@ -1021,6 +1021,60 @@ def _standalone_md(sa: dict | None) -> list[str]:
                 " outcome-blind; windows failing them are kept in the"
                 " loose-tier table above.",
             ]
+        # steal stratification: the strict gate's hi-side steal telemetry
+        # used as ANALYSIS instead of a filter — attributes the loose
+        # tier's spread. If efficiency tracks MEASURED hypervisor steal
+        # (cores taken from the hi level mid-run, /proc/stat 'st' deltas
+        # sampled DURING the run, invisible to the bracketing probes), the
+        # low-eff windows measure the neighbor VM, not the plan; if
+        # low-steal windows were also low-eff, the plan itself would be
+        # the binder. Thresholds are the strict gate's own (5% of the hi
+        # level's configured cores) and a 95% busy-core delivery line —
+        # both host-telemetry-only, fixed before the split is computed.
+        sw = [w for w in head_pool
+              if w.get("steal_cores_hi") is not None
+              and w.get("eff_vs_cpu_ceiling") is not None]
+        if len(sw) >= 8:
+            cpw = sw[0].get("cores_per_worker") or STANDALONE_CORES_PER_WORKER
+            hi_cores = 4 * cpw
+            thr = round(0.05 * hi_cores, 2)
+            quiet = sorted(w["eff_vs_cpu_ceiling"] for w in sw
+                           if w["steal_cores_hi"] <= thr)
+            stolen = sorted(w["eff_vs_cpu_ceiling"] for w in sw
+                            if w["steal_cores_hi"] > thr)
+            xs = [w["steal_cores_hi"] for w in sw]
+            ys = [w["eff_vs_cpu_ceiling"] for w in sw]
+            mx, my = sum(xs) / len(xs), sum(ys) / len(ys)
+            den = (sum((x - mx) ** 2 for x in xs)
+                   * sum((y - my) ** 2 for y in ys)) ** 0.5
+            r = (sum((x - mx) * (y - my) for x, y in zip(xs, ys)) / den
+                 if den else 0.0)
+            dv = [w for w in sw if w.get("busy_cores_hi") is not None]
+            full = sorted(w["eff_vs_cpu_ceiling"] for w in dv
+                          if w["busy_cores_hi"] >= 0.95 * hi_cores)
+            part = sorted(w["eff_vs_cpu_ceiling"] for w in dv
+                          if w["busy_cores_hi"] < 0.95 * hi_cores)
+            out += [
+                f"* STEAL STRATIFICATION of the loose cohort (analysis, not"
+                f" a gate): windows with mid-run hi-level steal ≤{thr}"
+                f" cores: {len(quiet)} window(s), median eff-vs-ceiling"
+                f" **{_median(quiet) if quiet else '—'}**; steal >{thr}:"
+                f" {len(stolen)} window(s), median"
+                f" **{_median(stolen) if stolen else '—'}**."
+                f" Pearson r(steal_cores_hi, eff) = {round(r, 3)}."
+                + (f" Delivery split: busy-cores-hi ≥ {round(0.95 * hi_cores, 1)}"
+                   f" (box granted the configured cores): {len(full)}"
+                   f" window(s), median **{_median(full) if full else '—'}**;"
+                   f" under-delivered: {len(part)} window(s), median"
+                   f" **{_median(part) if part else '—'}**." if dv else "")
+                + (" Efficiency is a function of measured steal, not of"
+                   " the plan: whenever the hypervisor actually delivers"
+                   " the hi level's cores, the cohort clears the ≥0.8 bar."
+                   if quiet and _median(quiet) >= 0.8
+                   and (not full or _median(full) >= 0.8)
+                   else " Low-steal windows do NOT clear the bar here —"
+                   " the residual is not attributable to steal alone."),
+            ]
         # eff vs DELIVERED CPU (per-window /proc/stat busy-core accounting —
         # tools/standalone_cluster.CpuAccount): speedup divided by how much
         # more CPU the box actually executed for the hi level. Windows with
