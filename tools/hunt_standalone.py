@@ -46,10 +46,18 @@ def main() -> None:
     ap.add_argument("--deadline-min", type=float, default=90.0)
     ap.add_argument("--cores-per-worker", type=int, default=2)
     ap.add_argument("--memtouch-floor", type=float, default=1e9)
+    # pre-attempt grant floor vs the historical probe median (worst axis):
+    # sub-0.8 cohort windows passed the bare memtouch floor, so gate harder
+    # before committing ~6 min of box time to a pair
+    ap.add_argument("--rel-floor", type=float, default=0.85)
+    # mid-pair health gate budget (see run_standalone_scaling docstring):
+    # the dominant spoiler is theft arriving at hi launch, ~150 s after the
+    # pre-attempt probe
+    ap.add_argument("--midpair-gate-s", type=float, default=240.0)
     ap.add_argument("--log", default=os.path.join(ROOT, "BENCH", "hunt_log.jsonl"))
     args = ap.parse_args()
 
-    from bench import _grant_probe, gen_cdc_input
+    from bench import _grant_probe, _grant_rel, _history_medians, gen_cdc_input
     from standalone_cluster import append_history, run_standalone_scaling
 
     work = os.environ.get("SPARK_GRAFT_HUNT_DIR", "/dev/shm/graft_hunt")
@@ -67,12 +75,17 @@ def main() -> None:
         print("[hunt-sa]", json.dumps(rec), flush=True)
 
     deadline = time.time() + args.deadline_min * 60
+    med = _history_medians()
     n_valid = 0
     attempt = 0
     while time.time() < deadline and n_valid < args.target_valid:
         p = _grant_probe()
-        if p["memtouch"] < args.memtouch_floor:
-            log({"event": "skip_unhealthy", "memtouch": round(p["memtouch"] / 1e6, 1)})
+        rel = _grant_rel(p, med)
+        if p["memtouch"] < args.memtouch_floor or (
+                rel is not None and rel < args.rel_floor):
+            log({"event": "skip_unhealthy",
+                 "memtouch": round(p["memtouch"] / 1e6, 1),
+                 "rel_vs_median": round(rel, 3) if rel is not None else None})
             time.sleep(50)
             continue
         attempt += 1
@@ -81,7 +94,8 @@ def main() -> None:
             res = run_standalone_scaling(
                 events_path, tmp, cores_per_worker=args.cores_per_worker,
                 sha_rounds=args.sha_rounds,
-                sha_mode=args.sha_mode)
+                sha_mode=args.sha_mode,
+                midpair_gate_s=args.midpair_gate_s)
         finally:
             shutil.rmtree(tmp, ignore_errors=True)
         append_history(res)
@@ -95,6 +109,8 @@ def main() -> None:
             "eff_vs_cpu_ceiling": res.get("eff_vs_cpu_ceiling"),
             "cpu_ceiling": res.get("cpu_ceiling"),
             "drift": res.get("grant_drift"),
+            "steal_hi": res.get("steal_cores_hi"),
+            "midpair_waited_s": res.get("midpair_waited_s"),
             "failed": res.get("failed"),
         })
     log({"event": "done", "valid_windows": n_valid, "attempts": attempt})

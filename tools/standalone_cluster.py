@@ -356,7 +356,10 @@ class StandaloneCluster:
 def run_standalone_scaling(events: str, workdir: str,
                            cores_per_worker: int = 4,
                            run_timeout_s: float = 900.0,
-                           sha_rounds: int = 1, sha_mode: str = "repeat") -> dict:
+                           sha_rounds: int = 1, sha_mode: str = "repeat",
+                           midpair_gate_s: float = 0.0,
+                           gate_rel_floor: float = 0.8,
+                           gate_memtouch_floor: float = 2e8) -> dict:
     """One validated lo/hi pair on a real standalone cluster:
     1 executor × C cores vs 4 executors × C cores, grant-probe-bracketed
     (same validity rule as bench.py's local[k] pairs).
@@ -367,9 +370,23 @@ def run_standalone_scaling(events: str, workdir: str,
     bandwidth (which does NOT multiply with cores on one box) to CPU (which
     nearly does). Each pair also measures the host's CPU and bandwidth
     ceilings at the SAME core ratio in the same window, so the result
-    carries efficiency-vs-applicable-ceiling, not just raw efficiency."""
+    carries efficiency-vs-applicable-ceiling, not just raw efficiency.
+
+    ``midpair_gate_s > 0`` arms the mid-pair health gate: after the lo level
+    (and its bracketing probe), wait up to that many seconds for the host
+    grant to return to health before launching hi. Cohort telemetry shows
+    the dominant spoiler is CPU theft arriving DURING the hi run
+    (steal_cores_hi median 0.40 on sub-0.8 windows vs 0.075 on ≥0.8 ones) —
+    the pre-attempt probe is ~150 s stale by hi launch. The gate conditions
+    ONLY on host-health probes taken while nothing is running, never on the
+    pair's own measured rates, so it cannot select on outcome; windows it
+    dodges were never measured. It also aborts early (failed record, no
+    valid/invalid row) when the lo-bracket probes ALREADY exceed
+    ``_PAIR_DRIFT_MAX`` — such a pair is unconditionally invalid under the
+    pre-registered drift rule, so running hi only burns the box."""
     sys.path.insert(0, ROOT)
-    from bench import (_PAIR_DRIFT_MAX, _grant_probe, _probe_drift,  # noqa: E402
+    from bench import (_PAIR_DRIFT_MAX, _grant_probe, _grant_rel,  # noqa: E402
+                       _history_medians, _probe_drift,
                        calibrate_host_scaling)
 
     swept = sweep_stale_clusters()
@@ -388,6 +405,40 @@ def run_standalone_scaling(events: str, workdir: str,
         grants = [_grant_probe()]
         levels = {}
         for label, n_workers in (("lo", 1), ("hi", 4)):
+            if label == "hi" and midpair_gate_s > 0:
+                if _probe_drift(grants) > _PAIR_DRIFT_MAX:
+                    result["failed"] = "midpair: lo-bracket drift already > max"
+                    return result
+                med = _history_medians()
+
+                def _healthy(p: dict) -> bool:
+                    if p["memtouch"] < gate_memtouch_floor:
+                        return False
+                    rel = _grant_rel(p, med)
+                    if rel is not None and rel < gate_rel_floor:
+                        return False
+                    # also vs this attempt's own pre-lo probe: history-free
+                    # fallback, and catches a box that was above-median at
+                    # attempt start and has since lost a big slice
+                    return all(
+                        p[k] >= 0.75 * grants[0][k]
+                        for k in ("sha", "memtouch") if grants[0].get(k)
+                    )
+
+                probe, waited = grants[-1], 0.0
+                while not _healthy(probe) and waited < midpair_gate_s:
+                    time.sleep(25)
+                    waited += 25
+                    probe = _grant_probe()
+                if waited:
+                    result["midpair_waited_s"] = waited
+                    # the post-wait probe is the effective pre-hi bracket;
+                    # the post-lo probe STAYS in the drift list, so grant
+                    # movement across the lo run itself still invalidates
+                    grants.append(probe)
+                    if not _healthy(probe):
+                        result["failed"] = "hi: midpair gate timeout"
+                        return result
             croot = os.path.join(workdir, f"cluster_{label}")
             tbl_dir = os.path.join(workdir, f"tbl_{label}")
             out_json = os.path.join(workdir, f"replay_{label}.json")
