@@ -1623,6 +1623,11 @@ def main() -> None:
                     events_path, tmp,
                     cores_per_worker=STANDALONE_CORES_PER_WORKER,
                     run_timeout_s=RUN_TIMEOUT_S,
+                    # mid-pair host-health gate (health probes only, see
+                    # run_standalone_scaling): without it the one window a
+                    # reporting run records is hostage to theft arriving at
+                    # hi launch — r3/r4 driver windows landed invalid that way
+                    midpair_gate_s=180.0,
                 )
                 append_history(standalone)
                 # optional CPU-roofline pair (compute-dense map stage, same
