@@ -162,6 +162,7 @@ class SnapshotTable(LakeTable):
         n_buckets: int = 32,
         merge_mode: str = "cow",
         stats_cols: Iterable[str] | None = None,
+        key_bloom_fpp: float | None = None,
     ):
         if merge_mode not in ("cow", "mor"):
             raise ValueError(f"merge_mode must be 'cow' or 'mor' (got {merge_mode!r})")
@@ -184,6 +185,14 @@ class SnapshotTable(LakeTable):
         # opens for out-of-range files, which at 100 TB is the difference
         # between a planning step and a million footer reads
         self.stats_cols = list(stats_cols) if stats_cols else []
+        # per-file key Bloom filters (Iceberg puffin-blob analogue): when
+        # set, every commit records a bloom over the key tuple for each
+        # NEW data file (one distributed column-pruned pass over just the
+        # committed bytes — see lake/bloom.py), and read_keys() skips
+        # whole files inside surviving buckets from the manifest alone.
+        # Pays for itself under MOR, where a hot bucket carries many small
+        # delta files and a point lookup otherwise opens all of them.
+        self.key_bloom_fpp = key_bloom_fpp
         # committed_batch_ids incremental cache: (version it covers, ids)
         self._bid_cache: tuple[int | None, set[str] | None] = (None, None)
         # file_stats carry cache: (version, its file_stats dict). Populated
@@ -193,6 +202,8 @@ class SnapshotTable(LakeTable):
         # Keeps the steady-state merge loop free of a per-commit parent-
         # manifest re-read (pure serial driver cost at high merge rates).
         self._stats_cache: tuple[int | None, dict | None] = (None, None)
+        # same carry-cache idea for file_blooms (see _stats_cache note)
+        self._bloom_cache: tuple[int | None, dict | None] = (None, None)
         os.makedirs(os.path.join(path, "manifests"), exist_ok=True)
         os.makedirs(os.path.join(path, "data"), exist_ok=True)
 
@@ -270,6 +281,9 @@ class SnapshotTable(LakeTable):
         stats = self._collect_file_stats(parent, files, delta_files)
         if stats:
             m["file_stats"] = stats
+        blooms = self._collect_file_blooms(parent, files, delta_files)
+        if blooms:
+            m["file_blooms"] = blooms
         return m
 
     def _collect_file_stats(
@@ -308,6 +322,43 @@ class SnapshotTable(LakeTable):
                         st = self._footer_stats(f)
                         if st:
                             out[f] = st
+        return out
+
+    def _collect_file_blooms(
+        self, parent: int | None, files: dict, delta_files: dict | None
+    ) -> dict:
+        """Per-file key Bloom filters for the new manifest. Carried forward
+        by relative path for surviving files (even when THIS handle has
+        blooms disabled — a bloom-less writer must not strip another
+        writer's skipping metadata, same rule as _collect_file_stats);
+        built by one distributed pass over files new in this commit when
+        ``key_bloom_fpp`` is set."""
+        carried: dict = {}
+        if parent is not None:
+            cached_v, cached = self._bloom_cache
+            if cached_v == parent and cached is not None:
+                carried = cached
+            else:
+                with open(self._manifest_path(parent)) as f:
+                    carried = json.load(f).get("file_blooms") or {}
+        if not carried and not self.key_bloom_fpp:
+            return {}
+        out: dict = {}
+        fresh: dict[str, str] = {}
+        for fmap in (files, delta_files or {}):
+            for fl in fmap.values():
+                for f in fl:
+                    prev = carried.get(f)
+                    if prev is not None:
+                        out[f] = prev
+                    elif self.key_bloom_fpp:
+                        fresh[f] = os.path.join(self.path, f)
+        if fresh:
+            from .bloom import build_file_blooms
+
+            out.update(build_file_blooms(
+                self.spark, fresh, self.key_cols, self.key_bloom_fpp
+            ))
         return out
 
     def _footer_stats(self, relpath: str) -> dict:
@@ -378,6 +429,7 @@ class SnapshotTable(LakeTable):
         # step needs no parent-manifest re-read (see _collect_file_stats);
         # set only after the link wins, so a lost race never poisons it
         self._stats_cache = (version, manifest.get("file_stats") or {})
+        self._bloom_cache = (version, manifest.get("file_blooms") or {})
 
     def exists(self) -> bool:
         return self._current_version() is not None
@@ -667,6 +719,23 @@ class SnapshotTable(LakeTable):
         deltas = self._delta_map(m)
         files = [f for b, fl in m["files"].items() if b in wanted for f in fl]
         files += [f for b in wanted for f in deltas.get(b, [])]
+        # third pruning level: per-file key Bloom filters (when the table
+        # was written with key_bloom_fpp) drop whole files inside the
+        # surviving buckets whose filter proves every requested key absent.
+        # Sound under MOR for the same reason the In-pushdown is: key
+        # predicates commute with the per-key LWW — a file without the key
+        # contributes nothing to that key's resolution. Files without a
+        # bloom are always kept (conservative).
+        blooms = m.get("file_blooms") or {}
+        if blooms and 0 < len(keys) <= self._PUSHDOWN_MAX_KEYS:
+            from .bloom import maybe_contains_any, probe_hashes
+
+            hashes = probe_hashes(self.spark, keys, key_df.schema)
+            files = [
+                f for f in files
+                if (bl := blooms.get(f)) is None or maybe_contains_any(bl, hashes)
+            ]
+        self._last_lookup_files_scanned = len(files)
         df = self._read_files(files, schema)
         if 0 < len(keys) <= self._PUSHDOWN_MAX_KEYS:
             for i, k in enumerate(self.key_cols):

@@ -2363,3 +2363,60 @@ def q70(spark, sf):
 
     d = _t(spark, sf, "documents").select("doc_id", "lang", "source", "n_chars")
     return profile_table(d, exact=True)
+
+
+_Q71_KEYS = [(5, "click"), (6, "view"), (7, "purchase"), (8, "login"), (999999, "click")]
+
+_ORACLE_Q71 = (
+    "SELECT user_id, event_type, content, commit_seq FROM (\n"
+    "  SELECT user_id, event_type, value AS content, event_id AS commit_seq,\n"
+    "         CASE WHEN value < 1 THEN 'D' ELSE 'U' END AS op,\n"
+    "         ROW_NUMBER() OVER (PARTITION BY user_id, event_type ORDER BY event_id DESC) AS rn\n"
+    "  FROM events\n"
+    ") WHERE rn = 1 AND op <> 'D' AND (\n"
+    + " OR ".join(
+        f"(user_id = {u} AND event_type = '{t}')" for u, t in _Q71_KEYS
+    )
+    + ")"
+)
+
+
+@query("q71_lake_bloom_lookup", _ORACLE_Q71)
+def q71(spark, sf):
+    """Point lookup through ALL THREE manifest pruning levels (lake/
+    parquet_snapshot.py read_keys + lake/bloom.py): the events log is
+    replayed as a MOR table (bootstrap COW + three delta-append merges,
+    so hot buckets carry several small delta files) written with
+    key_bloom_fpp=0.01 — per-file key Bloom filters in the manifest.
+    read_keys then prunes (1) buckets by key hash, (2) whole files whose
+    bloom proves every probe key absent, (3) row groups via the In
+    pushdown; the probe set deliberately includes one absent key
+    (999999) whose candidate files must all bloom-prune to zero. Result
+    must equal the plain LWW oracle — blooms may only skip files, never
+    change answers."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from .lake.parquet_snapshot import SnapshotTable
+
+    ev = _t(spark, sf, "events").select(
+        F.col("user_id"),
+        F.col("event_type"),
+        F.col("value").alias("content"),
+        F.col("event_id").alias("commit_seq"),
+        F.when(F.col("value") < 1, "D").otherwise("U").alias("op"),
+    )
+    d = tempfile.mkdtemp(prefix="q71_lake_")
+    atexit.register(shutil.rmtree, d, ignore_errors=True)
+    tbl = SnapshotTable(
+        spark, d, key_cols=("user_id", "event_type"),
+        order_cols=("commit_seq",), n_buckets=16,
+        merge_mode="mor", key_bloom_fpp=0.01,
+    )
+    part = F.pmod("commit_seq", F.lit(4))
+    tbl.merge(ev.where(part == 0), batch_id="p0")  # bootstrap → COW base
+    for p in (1, 2, 3):  # scattered updates → per-bucket delta files
+        tbl.merge(ev.where(part == p), batch_id=f"p{p}")
+    out = tbl.read_keys(_Q71_KEYS)
+    return out.select("user_id", "event_type", "content", "commit_seq")

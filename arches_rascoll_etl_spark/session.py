@@ -25,6 +25,22 @@ def get_spark(
     """
     if shuffle_partitions is None:
         shuffle_partitions = 32 if cores == "*" else max(int(cores), 8)
+    # Ship this package to executor python workers. Pandas-UDF closures
+    # defined INSIDE the package (lake/bloom.py, operators/multimodal.py,
+    # ...) are cloudpickled by module reference, so the worker must be able
+    # to `import arches_rascoll_etl_spark` — true under pytest/bench (cwd =
+    # repo root) and under spark-submit --py-files (tools/submit_replay.sh),
+    # but NOT for a user script that only did sys.path.insert(repo): local-
+    # mode workers inherit PYTHONPATH, not the driver's sys.path. Prepend
+    # the repo root to PYTHONPATH before the JVM launches (driver side) and
+    # mirror it into executorEnv for cluster masters sharing a filesystem;
+    # real clusters without one use --py-files as before.
+    pkg_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env_pp = os.environ.get("PYTHONPATH", "")
+    if pkg_root not in env_pp.split(os.pathsep):
+        os.environ["PYTHONPATH"] = (
+            pkg_root + (os.pathsep + env_pp if env_pp else "")
+        )
     builder = (
         SparkSession.builder.appName(app_name)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
@@ -37,6 +53,9 @@ def get_spark(
         .config("spark.sql.parquet.compression.codec", "snappy")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
+    )
+    builder = builder.config(
+        "spark.executorEnv.PYTHONPATH", os.environ["PYTHONPATH"]
     )
     local_dir = os.environ.get("SPARK_GRAFT_LOCAL_DIR")
     if local_dir:
