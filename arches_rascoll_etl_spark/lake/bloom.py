@@ -30,10 +30,12 @@ Design constraints honoured:
 * **Conservative** — a file without a bloom is always read; a bloom can
   only produce false POSITIVES (extra file opens), never false negatives.
 
-At 100 TB the inline-JSON encoding would bloat manifests (a 1% FPP bloom
-is ~1.2 bytes/key); production would spill blooms to a sidecar file per
-commit (Iceberg's puffin layout) keyed by the same relative paths — the
-probe/build logic here is unchanged by that move.
+Storage layout (Iceberg's puffin layout): filter BYTES live in one
+``manifests/blooms-*.json`` sidecar per commit, keyed by relative data-file
+path; the manifest itself carries only ``bloom_refs`` {path: sidecar} string
+pointers. Manifest size stays O(files) — a 1% FPP bloom is ~1.2 bytes/key,
+which inlined would dwarf the manifest at 10^10 rows — and a reader fetches
+filter bytes only for the sidecars its probed buckets actually reference.
 """
 
 from __future__ import annotations

@@ -188,8 +188,9 @@ class SnapshotTable(LakeTable):
         # per-file key Bloom filters (Iceberg puffin-blob analogue): when
         # set, every commit records a bloom over the key tuple for each
         # NEW data file (one distributed column-pruned pass over just the
-        # committed bytes — see lake/bloom.py), and read_keys() skips
-        # whole files inside surviving buckets from the manifest alone.
+        # committed bytes — see lake/bloom.py) in a per-commit sidecar the
+        # manifest points at, and read_keys() skips whole files inside
+        # surviving buckets without opening them.
         # Pays for itself under MOR, where a hot bucket carries many small
         # delta files and a point lookup otherwise opens all of them.
         self.key_bloom_fpp = key_bloom_fpp
@@ -202,8 +203,11 @@ class SnapshotTable(LakeTable):
         # Keeps the steady-state merge loop free of a per-commit parent-
         # manifest re-read (pure serial driver cost at high merge rates).
         self._stats_cache: tuple[int | None, dict | None] = (None, None)
-        # same carry-cache idea for file_blooms (see _stats_cache note)
-        self._bloom_cache: tuple[int | None, dict | None] = (None, None)
+        # same carry-cache idea for blooms (see _stats_cache note):
+        # (version, (inline legacy blooms, sidecar refs))
+        self._bloom_cache: tuple[int | None, tuple[dict, dict] | None] = (None, None)
+        # bloom sidecar contents by filename, read-once per handle
+        self._sidecar_cache: dict[str, dict] = {}
         os.makedirs(os.path.join(path, "manifests"), exist_ok=True)
         os.makedirs(os.path.join(path, "data"), exist_ok=True)
 
@@ -281,9 +285,13 @@ class SnapshotTable(LakeTable):
         stats = self._collect_file_stats(parent, files, delta_files)
         if stats:
             m["file_stats"] = stats
-        blooms = self._collect_file_blooms(parent, files, delta_files)
-        if blooms:
-            m["file_blooms"] = blooms
+        inline_blooms, bloom_refs = self._collect_file_blooms(
+            parent, files, delta_files
+        )
+        if inline_blooms:  # legacy in-manifest blooms, carried verbatim
+            m["file_blooms"] = inline_blooms
+        if bloom_refs:
+            m["bloom_refs"] = bloom_refs
         return m
 
     def _collect_file_stats(
@@ -326,39 +334,92 @@ class SnapshotTable(LakeTable):
 
     def _collect_file_blooms(
         self, parent: int | None, files: dict, delta_files: dict | None
-    ) -> dict:
-        """Per-file key Bloom filters for the new manifest. Carried forward
-        by relative path for surviving files (even when THIS handle has
-        blooms disabled — a bloom-less writer must not strip another
-        writer's skipping metadata, same rule as _collect_file_stats);
-        built by one distributed pass over files new in this commit when
-        ``key_bloom_fpp`` is set."""
-        carried: dict = {}
+    ) -> tuple[dict, dict]:
+        """Per-file key Bloom filters for the new manifest, as
+        ``(inline, refs)``. ``refs`` is {relpath: sidecar filename} — the
+        puffin-style layout: the manifest carries only string pointers,
+        the filter BYTES live in one ``manifests/blooms-*.json`` sidecar
+        written per commit for that commit's new files and shared by
+        every later manifest that still references them, so manifest
+        size stays O(files), not O(files × bloom bytes), and readers
+        fetch filter bytes only for the buckets they actually probe.
+        ``inline`` carries any legacy in-manifest blooms verbatim.
+        Both are carried forward by relative path for surviving files
+        (even when THIS handle has blooms disabled — a bloom-less writer
+        must not strip another writer's skipping metadata, same rule as
+        _collect_file_stats); new files get a fresh bloom via one
+        distributed pass when ``key_bloom_fpp`` is set."""
+        c_inline: dict = {}
+        c_refs: dict = {}
         if parent is not None:
             cached_v, cached = self._bloom_cache
             if cached_v == parent and cached is not None:
-                carried = cached
+                c_inline, c_refs = cached
             else:
                 with open(self._manifest_path(parent)) as f:
-                    carried = json.load(f).get("file_blooms") or {}
-        if not carried and not self.key_bloom_fpp:
-            return {}
-        out: dict = {}
+                    pm = json.load(f)
+                c_inline = pm.get("file_blooms") or {}
+                c_refs = pm.get("bloom_refs") or {}
+        if not (c_inline or c_refs or self.key_bloom_fpp):
+            return {}, {}
+        inline: dict = {}
+        refs: dict = {}
         fresh: dict[str, str] = {}
         for fmap in (files, delta_files or {}):
             for fl in fmap.values():
                 for f in fl:
-                    prev = carried.get(f)
-                    if prev is not None:
-                        out[f] = prev
+                    if f in c_refs:
+                        refs[f] = c_refs[f]
+                    elif f in c_inline:
+                        inline[f] = c_inline[f]
                     elif self.key_bloom_fpp:
                         fresh[f] = os.path.join(self.path, f)
         if fresh:
             from .bloom import build_file_blooms
 
-            out.update(build_file_blooms(
+            built = build_file_blooms(
                 self.spark, fresh, self.key_cols, self.key_bloom_fpp
-            ))
+            )
+            if built:
+                # unique name per build: a CAS-losing commit leaves an
+                # unreferenced sidecar (never a clobbered shared one),
+                # swept by remove_orphans like attempt-* debris
+                name = f"blooms-{uuid.uuid4().hex[:12]}.json"
+                with open(os.path.join(self.path, "manifests", name), "w") as f:
+                    json.dump(built, f)
+                self._sidecar_cache[name] = built
+                for rel in built:
+                    refs[rel] = name
+        return inline, refs
+
+    def _blooms_for(self, m: dict, files: list[str]) -> dict:
+        """{relpath: bloom} for JUST the requested files: legacy inline
+        entries plus sidecar-ref'd ones. Each needed sidecar is read once
+        per handle — a point lookup touches only the probed buckets'
+        sidecars, never the table's full bloom bytes. A missing sidecar
+        (GC raced us) degrades to no pruning for its files, never to a
+        wrong answer."""
+        inline = m.get("file_blooms") or {}
+        refs = m.get("bloom_refs") or {}
+        out = {f: inline[f] for f in files if f in inline}
+        needed: dict[str, list[str]] = {}
+        for f in files:
+            r = refs.get(f)
+            if r is not None:
+                needed.setdefault(r, []).append(f)
+        for name, fl in needed.items():
+            side = self._sidecar_cache.get(name)
+            if side is None:
+                try:
+                    with open(os.path.join(self.path, "manifests", name)) as fh:
+                        side = json.load(fh)
+                except FileNotFoundError:
+                    side = {}
+                self._sidecar_cache[name] = side
+            for f in fl:
+                bl = side.get(f)
+                if bl is not None:
+                    out[f] = bl
         return out
 
     def _footer_stats(self, relpath: str) -> dict:
@@ -429,7 +490,10 @@ class SnapshotTable(LakeTable):
         # step needs no parent-manifest re-read (see _collect_file_stats);
         # set only after the link wins, so a lost race never poisons it
         self._stats_cache = (version, manifest.get("file_stats") or {})
-        self._bloom_cache = (version, manifest.get("file_blooms") or {})
+        self._bloom_cache = (
+            version,
+            (manifest.get("file_blooms") or {}, manifest.get("bloom_refs") or {}),
+        )
 
     def exists(self) -> bool:
         return self._current_version() is not None
@@ -468,7 +532,11 @@ class SnapshotTable(LakeTable):
             )
         cur = self._current_version()
         if cur is None:
-            return {"removed_snapshots": 0, "removed_files": 0}
+            return {
+                "removed_snapshots": 0,
+                "removed_files": 0,
+                "removed_bloom_sidecars": 0,
+            }
         chain: list[dict] = []
         v: int | None = cur
         while v is not None:
@@ -488,7 +556,10 @@ class SnapshotTable(LakeTable):
                 yield from fl
 
         keep_files = {f for m in keep for f in _refs(m)}
-        removed_files = 0
+        keep_sidecars = {
+            r for m in keep for r in (m.get("bloom_refs") or {}).values()
+        }
+        removed_files = removed_sidecars = 0
         for m in expire:
             for f in _refs(m):
                 if f not in keep_files:
@@ -496,6 +567,14 @@ class SnapshotTable(LakeTable):
                     if os.path.exists(p):
                         os.unlink(p)
                         removed_files += 1
+            # bloom sidecars referenced ONLY by expired manifests go with
+            # them (shared sidecars: first expired referent wins, the
+            # exists() guard absorbs the rest)
+            for r in set((m.get("bloom_refs") or {}).values()) - keep_sidecars:
+                p = os.path.join(self.path, "manifests", r)
+                if os.path.exists(p):
+                    os.unlink(p)
+                    removed_sidecars += 1
             os.unlink(self._manifest_path(m["version"]))
         # prune empty per-commit data dirs left behind (a table whose only
         # commits were empty batches has no data dir at all)
@@ -508,7 +587,11 @@ class SnapshotTable(LakeTable):
                     os.rmdir(bd)
             if os.path.isdir(cd) and not os.listdir(cd):
                 os.rmdir(cd)
-        return {"removed_snapshots": len(expire), "removed_files": removed_files}
+        return {
+            "removed_snapshots": len(expire),
+            "removed_files": removed_files,
+            "removed_bloom_sidecars": removed_sidecars,
+        }
 
     # Iceberg's remove_orphan_files defaults to 3 days for the same reason:
     # a legitimately slow in-flight write (big merge/rebucket) may spend a
@@ -537,6 +620,7 @@ class SnapshotTable(LakeTable):
             )
         now = time.time()
         live: set[str] = set()
+        live_sidecars: set[str] = set()
         v: int | None = self._current_version()
         while v is not None:
             try:
@@ -545,8 +629,9 @@ class SnapshotTable(LakeTable):
                 break
             live.update(f for fl in m["files"].values() for f in fl)
             live.update(f for fl in self._delta_map(m).values() for f in fl)
+            live_sidecars.update((m.get("bloom_refs") or {}).values())
             v = m.get("parent_version")
-        removed = {"data_files": 0, "attempt_manifests": 0}
+        removed = {"data_files": 0, "attempt_manifests": 0, "bloom_sidecars": 0}
         data_root = os.path.join(self.path, "data")
         if os.path.isdir(data_root):
             for commit_dir in os.listdir(data_root):
@@ -577,6 +662,13 @@ class SnapshotTable(LakeTable):
                 if now - os.path.getmtime(p) > older_than_s:
                     os.unlink(p)
                     removed["attempt_manifests"] += 1
+            elif fn.startswith("blooms-") and fn not in live_sidecars:
+                # a CAS-losing commit's bloom sidecar: unreferenced by any
+                # retained manifest — same debris class as attempt-*
+                p = os.path.join(man_dir, fn)
+                if now - os.path.getmtime(p) > older_than_s:
+                    os.unlink(p)
+                    removed["bloom_sidecars"] += 1
         return removed
 
     def committed_batch_ids(self) -> set[str]:
@@ -726,15 +818,17 @@ class SnapshotTable(LakeTable):
         # predicates commute with the per-key LWW — a file without the key
         # contributes nothing to that key's resolution. Files without a
         # bloom are always kept (conservative).
-        blooms = m.get("file_blooms") or {}
-        if blooms and 0 < len(keys) <= self._PUSHDOWN_MAX_KEYS:
-            from .bloom import maybe_contains_any, probe_hashes
+        if 0 < len(keys) <= self._PUSHDOWN_MAX_KEYS:
+            blooms = self._blooms_for(m, files)
+            if blooms:
+                from .bloom import maybe_contains_any, probe_hashes
 
-            hashes = probe_hashes(self.spark, keys, key_df.schema)
-            files = [
-                f for f in files
-                if (bl := blooms.get(f)) is None or maybe_contains_any(bl, hashes)
-            ]
+                hashes = probe_hashes(self.spark, keys, key_df.schema)
+                files = [
+                    f for f in files
+                    if (bl := blooms.get(f)) is None
+                    or maybe_contains_any(bl, hashes)
+                ]
         self._last_lookup_files_scanned = len(files)
         df = self._read_files(files, schema)
         if 0 < len(keys) <= self._PUSHDOWN_MAX_KEYS:

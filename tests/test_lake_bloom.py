@@ -79,9 +79,9 @@ def test_bloom_no_false_negatives(spark, tmp_table_dir):
     tbl = _mk(spark, os.path.join(tmp_table_dir, "b2"), key_bloom_fpp=0.05)
     _replay(tbl, spark)
     m = tbl._load_manifest(tbl.current_version())
-    blooms = m["file_blooms"]
-    # every data file of the current snapshot has a bloom
+    # every data file of the current snapshot has a bloom (via sidecar)
     all_files = [f for fl in m["files"].values() for f in fl]
+    blooms = tbl._blooms_for(m, all_files)
     assert set(all_files) <= set(blooms)
     for rel in all_files:
         df = spark.read.parquet(os.path.join(tbl.path, rel))
@@ -99,7 +99,9 @@ def test_blooms_survive_bloomless_writer(spark, tmp_table_dir):
     path = os.path.join(tmp_table_dir, "b3")
     with_bloom = _mk(spark, path, key_bloom_fpp=0.01)
     with_bloom.merge(batch_events(spark, CFG, 0), batch_id="b0")
-    v0_blooms = with_bloom._load_manifest(with_bloom.current_version())["file_blooms"]
+    m0 = with_bloom._load_manifest(with_bloom.current_version())
+    v0_files = [f for fl in m0["files"].values() for f in fl]
+    v0_blooms = with_bloom._blooms_for(m0, v0_files)
     assert v0_blooms
 
     plain = _mk(spark, path)  # no blooms on this handle
@@ -109,8 +111,9 @@ def test_blooms_survive_bloomless_writer(spark, tmp_table_dir):
     m1 = plain._load_manifest(plain.current_version())
     surviving = {f for fl in m1["files"].values() for f in fl} & set(v0_blooms)
     assert surviving, "expected at least one untouched bucket's file to survive"
+    got = plain._blooms_for(m1, sorted(surviving))
     for f in surviving:
-        assert m1["file_blooms"][f] == v0_blooms[f]
+        assert got[f] == v0_blooms[f]
 
 
 def test_bloom_build_deterministic(spark, tmp_table_dir):
@@ -122,6 +125,50 @@ def test_bloom_build_deterministic(spark, tmp_table_dir):
     m = tbl._load_manifest(tbl.current_version())
     rels = {f: os.path.join(tbl.path, f) for fl in m["files"].values() for f in fl}
     rebuilt = bloom.build_file_blooms(spark, rels, ["repo", "path"], 0.01)
-    assert rebuilt == m["file_blooms"]
-    # manifest round-trips through JSON (the driver reads it raw)
-    json.dumps(m["file_blooms"])
+    assert rebuilt == tbl._blooms_for(m, sorted(rels))
+    # manifest carries only string sidecar refs and round-trips raw JSON
+    assert set(m["bloom_refs"]) == set(rels)
+    assert all(isinstance(v, str) for v in m["bloom_refs"].values())
+    json.dumps(m["bloom_refs"])
+
+
+def test_bloom_sidecar_lifecycle(spark, tmp_table_dir):
+    """Sidecar GC: (a) expire_snapshots deletes sidecars referenced only
+    by expired manifests and keeps shared ones alive; (b) remove_orphans
+    sweeps an unreferenced (CAS-losing) sidecar but never a live one;
+    (c) a lookup after GC still answers exactly."""
+    tbl = _mk(spark, os.path.join(tmp_table_dir, "b5"),
+              merge_mode="mor", key_bloom_fpp=0.01)
+    _replay(tbl, spark)
+    man_dir = os.path.join(tbl.path, "manifests")
+    n_sidecars = len([f for f in os.listdir(man_dir) if f.startswith("blooms-")])
+    assert n_sidecars == CFG.n_batches  # one per non-empty commit
+
+    # fabricate a CAS-loser's debris: a sidecar no manifest references
+    orphan = os.path.join(man_dir, "blooms-deadbeefcafe.json")
+    with open(orphan, "w") as f:
+        json.dump({"data/x/p.parquet": {"m": 64, "k": 1, "fpp": 0.01, "b64": ""}}, f)
+    os.utime(orphan, (1.0, 1.0))
+    res = tbl.remove_orphans(older_than_s=0.0, force=True)
+    assert res["bloom_sidecars"] == 1
+    assert not os.path.exists(orphan)
+    # live sidecars untouched
+    assert len([f for f in os.listdir(man_dir) if f.startswith("blooms-")]) == n_sidecars
+
+    res = tbl.expire_snapshots(keep_last=1)
+    assert res["removed_snapshots"] == CFG.n_batches - 1
+    # the newest manifest still references every base file's bloom, so
+    # sidecars shared with retained snapshots survive; only truly
+    # unreferenced ones went
+    m = tbl._load_manifest(tbl.current_version())
+    alive = {f for f in os.listdir(man_dir) if f.startswith("blooms-")}
+    assert set(m["bloom_refs"].values()) <= alive
+
+    # post-GC lookup is still exact (fresh handle: no warm caches)
+    events = [r.asDict() for r in change_log(spark, CFG).collect()]
+    expected = oracle.final_rows(events)
+    live = {(repo, path): commit for repo, path, commit, lang, sha in expected}
+    some = sorted(live)[:3]
+    tbl2 = _mk(spark, tbl.path, merge_mode="mor", key_bloom_fpp=0.01)
+    got = tbl2.read_keys(some).select("repo", "path", "commit").collect()
+    assert {(r[0], r[1]): r[2] for r in got} == {k: live[k] for k in some}
