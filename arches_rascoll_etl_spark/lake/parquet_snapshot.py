@@ -517,6 +517,161 @@ class SnapshotTable(LakeTable):
             v = m.get("parent_version")
         return list(reversed(out))
 
+    # ---------- named refs: tags + write-audit-publish staging ----------
+
+    _REF_NAME_RE = re.compile(r"^[A-Za-z0-9][A-Za-z0-9._-]{0,63}$")
+
+    def _tag_path(self, name: str) -> str:
+        return os.path.join(self.path, "manifests", f"tag-{name}.json")
+
+    def _check_ref_name(self, name: str) -> str:
+        name = str(name)
+        if not self._REF_NAME_RE.match(name):
+            raise ValueError(
+                f"ref name {name!r} must match {self._REF_NAME_RE.pattern}"
+            )
+        return name
+
+    def tag(self, name: str, version: int | None = None) -> int:
+        """Create an IMMUTABLE named ref to a snapshot (Iceberg tag
+        analogue). Tagged snapshots are pinned: ``expire_snapshots``
+        keeps their manifest and data files regardless of ``keep_last``,
+        so ``read(version="prod-2026-08")`` works for as long as the tag
+        exists. CAS semantics like commits: tagging an existing name
+        raises (delete_tag first) — a tag never silently moves."""
+        name = self._check_ref_name(name)
+        v = self._current_version() if version is None else int(version)
+        if v is None or not os.path.exists(self._manifest_path(v)):
+            raise FileNotFoundError(f"no snapshot version {v} to tag")
+        attempt = os.path.join(
+            self.path, "manifests", f"attempt-{uuid.uuid4().hex[:12]}.json"
+        )
+        with open(attempt, "w") as f:
+            json.dump({"name": name, "version": v}, f)
+        try:
+            os.link(attempt, self._tag_path(name))
+        except FileExistsError:
+            raise CommitConflictError(
+                f"tag {name!r} already exists on {self.path}"
+            ) from None
+        finally:
+            os.unlink(attempt)
+        return v
+
+    def tags(self) -> dict[str, int]:
+        """{tag name: snapshot version} for every tag on the table."""
+        out: dict[str, int] = {}
+        man_dir = os.path.join(self.path, "manifests")
+        for fn in os.listdir(man_dir) if os.path.isdir(man_dir) else []:
+            if fn.startswith("tag-") and fn.endswith(".json"):
+                with open(os.path.join(man_dir, fn)) as f:
+                    r = json.load(f)
+                out[r["name"]] = int(r["version"])
+        return out
+
+    def delete_tag(self, name: str) -> None:
+        os.unlink(self._tag_path(self._check_ref_name(name)))
+
+    def _resolve_version(self, version) -> int | None:
+        """int passes through; a string resolves as a tag name; None means
+        the current head."""
+        if version is None:
+            return self._current_version()
+        if isinstance(version, str):
+            try:
+                with open(self._tag_path(self._check_ref_name(version))) as f:
+                    return int(json.load(f)["version"])
+            except FileNotFoundError:
+                raise FileNotFoundError(
+                    f"table {self.path} has no tag {version!r}"
+                ) from None
+        return int(version)
+
+    def _staged_path(self, wap_id: str) -> str:
+        return os.path.join(self.path, "manifests", f"staged-{wap_id}.json")
+
+    def _commit_staged(self, manifest: dict, wap_id: str) -> None:
+        """Write a STAGED manifest (write-audit-publish): same CAS attempt
+        + link discipline as _commit, but to ``staged-<wap_id>.json`` — the
+        table head does not move and the batch id is NOT committed until
+        publish_staged() links it to its canonical version name."""
+        attempt = os.path.join(
+            self.path, "manifests", f"attempt-{uuid.uuid4().hex[:12]}.json"
+        )
+        with open(attempt, "w") as f:
+            json.dump(manifest, f)
+        try:
+            os.link(attempt, self._staged_path(wap_id))
+        except FileExistsError:
+            raise CommitConflictError(
+                f"staged snapshot {wap_id!r} already exists on {self.path}; "
+                "publish or discard it first"
+            ) from None
+        finally:
+            os.unlink(attempt)
+
+    def read_staged(self, wap_id: str) -> DataFrame:
+        """Live rows of a staged (unpublished) snapshot — the AUDIT half of
+        write-audit-publish. Runs the same tombstone/MOR resolution as
+        read(), so validation queries see exactly what publish would make
+        current."""
+        with open(self._staged_path(self._check_ref_name(wap_id))) as f:
+            m = json.load(f)
+        self._validate_manifest(m)
+        return (
+            self._resolved_stored(m)
+            .where(F.coalesce(F.col(self.op_col), F.lit("U")) != "D")
+            .drop(self.op_col)
+        )
+
+    def publish_staged(self, wap_id: str) -> int:
+        """Fast-forward the table head to a staged snapshot (the PUBLISH
+        half of WAP). Atomic and conflict-safe: the staged manifest was
+        computed against its parent head, so it claims exactly version
+        parent+1 — one os.link, no data rewrite. If any commit landed
+        since staging, that version name is taken and this raises
+        CommitConflictError (discard and re-stage against the new head:
+        the staged LWW state could be stale). On success the staged
+        batch's id becomes committed — replay idempotence picks it up
+        exactly like a direct merge."""
+        wap_id = self._check_ref_name(wap_id)
+        sp = self._staged_path(wap_id)
+        with open(sp) as f:
+            m = json.load(f)
+        self._validate_manifest(m)
+        try:
+            os.link(sp, self._manifest_path(m["version"]))
+        except FileExistsError:
+            raise CommitConflictError(
+                f"cannot publish staged snapshot {wap_id!r}: the table "
+                f"advanced past its parent (version {m['parent_version']}); "
+                "discard_staged() and re-stage against the new head"
+            ) from None
+        os.unlink(sp)
+        version = m["version"]
+        self._stats_cache = (version, m.get("file_stats") or {})
+        self._bloom_cache = (
+            version,
+            (m.get("file_blooms") or {}, m.get("bloom_refs") or {}),
+        )
+        return version
+
+    def discard_staged(self, wap_id: str) -> None:
+        """Drop a staged snapshot after a failed audit. Its data files
+        become unreferenced debris, swept by remove_orphans after the
+        usual age grace (never eagerly: another handle may be mid-
+        publish)."""
+        os.unlink(self._staged_path(self._check_ref_name(wap_id)))
+
+    def staged(self) -> list[str]:
+        """wap_ids of pending staged snapshots."""
+        man_dir = os.path.join(self.path, "manifests")
+        return sorted(
+            fn[len("staged-"):-len(".json")]
+            for fn in (os.listdir(man_dir) if os.path.isdir(man_dir) else [])
+            if fn.startswith("staged-") and fn.endswith(".json")
+        )
+
     def expire_snapshots(self, keep_last: int = 2) -> dict:
         """Retention GC (Iceberg expire_snapshots analogue): drop snapshots
         older than the last ``keep_last`` and delete data files referenced
@@ -547,6 +702,12 @@ class SnapshotTable(LakeTable):
             chain.append(m)
             v = m.get("parent_version")
         keep, expire = chain[:keep_last], chain[keep_last:]
+        # tags pin snapshots (Iceberg rule): a tagged version keeps its
+        # manifest and data files no matter how old it is
+        tagged = set(self.tags().values())
+        pinned = [m for m in expire if m["version"] in tagged]
+        expire = [m for m in expire if m["version"] not in tagged]
+        keep = keep + pinned
 
         def _refs(m: dict):
             """Every data file a manifest references: base + MOR deltas."""
@@ -631,7 +792,30 @@ class SnapshotTable(LakeTable):
             live.update(f for fl in self._delta_map(m).values() for f in fl)
             live_sidecars.update((m.get("bloom_refs") or {}).values())
             v = m.get("parent_version")
-        removed = {"data_files": 0, "attempt_manifests": 0, "bloom_sidecars": 0}
+        removed = {
+            "data_files": 0,
+            "attempt_manifests": 0,
+            "bloom_sidecars": 0,
+            "staged_manifests": 0,
+        }
+        # staged (write-audit-publish) snapshots: within the grace window
+        # their files are LIVE (a publish may still land); past it the
+        # staged manifest itself is debris — sweep it FIRST so its unique
+        # files fall out as ordinary orphans in the same pass
+        man_dir = os.path.join(self.path, "manifests")
+        for fn in sorted(os.listdir(man_dir)) if os.path.isdir(man_dir) else []:
+            if not (fn.startswith("staged-") and fn.endswith(".json")):
+                continue
+            p = os.path.join(man_dir, fn)
+            if now - os.path.getmtime(p) > older_than_s:
+                os.unlink(p)
+                removed["staged_manifests"] += 1
+            else:
+                with open(p) as f:
+                    sm = json.load(f)
+                live.update(f for fl in sm["files"].values() for f in fl)
+                live.update(f for fl in self._delta_map(sm).values() for f in fl)
+                live_sidecars.update((sm.get("bloom_refs") or {}).values())
         data_root = os.path.join(self.path, "data")
         if os.path.isdir(data_root):
             for commit_dir in os.listdir(data_root):
@@ -720,18 +904,20 @@ class SnapshotTable(LakeTable):
         # narrower numerics are up-cast by the parquet vectorized reader
         return self.spark.read.schema(schema).parquet(*paths)
 
-    def read(self, version: int | None = None) -> DataFrame:
-        """Live rows of a snapshot: stored rows minus tombstones."""
+    def read(self, version: int | str | None = None) -> DataFrame:
+        """Live rows of a snapshot: stored rows minus tombstones.
+        ``version`` may be an int (time travel), a tag name string
+        (named ref), or None for the current head."""
         return (
             self._read_stored(version)
             .where(F.coalesce(F.col(self.op_col), F.lit("U")) != "D")
             .drop(self.op_col)
         )
 
-    def _read_stored(self, version: int | None = None) -> DataFrame:
+    def _read_stored(self, version: int | str | None = None) -> DataFrame:
         """All stored rows of a snapshot, tombstones included, with op —
         one winner row per key (MOR deltas resolved, see _resolved_stored)."""
-        v = self._current_version() if version is None else version
+        v = self._resolve_version(version)
         if v is None:
             raise FileNotFoundError(f"table {self.path} has no snapshots")
         return self._resolved_stored(self._load_manifest(v))
@@ -778,7 +964,9 @@ class SnapshotTable(LakeTable):
     # bloat the filter expression for no skipping benefit
     _PUSHDOWN_MAX_KEYS = 256
 
-    def read_keys(self, keys: list[tuple], version: int | None = None) -> DataFrame:
+    def read_keys(
+        self, keys: list[tuple], version: int | str | None = None
+    ) -> DataFrame:
         """Bucket-pruned point lookup: read ONLY the data files of the
         buckets the requested keys hash into (manifest-level pruning — the
         read-side twin of the COW write's bucket selectivity; the moral
@@ -796,7 +984,7 @@ class SnapshotTable(LakeTable):
         then filters the superset to the requested tuples."""
         import pyspark.sql.functions as _F
 
-        v = self._current_version() if version is None else version
+        v = self._resolve_version(version)
         if v is None:
             raise FileNotFoundError(f"table {self.path} has no snapshots")
         m = self._load_manifest(v)
@@ -878,7 +1066,7 @@ class SnapshotTable(LakeTable):
         pruning. Correctness does not depend on pruning at all: the full
         predicate is re-applied to the scanned rows, so stats only decide
         which files open."""
-        v = self._current_version() if version is None else version
+        v = self._resolve_version(version)
         if v is None:
             raise FileNotFoundError(f"table {self.path} has no snapshots")
         m = self._load_manifest(v)
@@ -1220,7 +1408,8 @@ class SnapshotTable(LakeTable):
 
     def merge(self, batch: DataFrame, batch_id: str, summary: dict | None = None,
               precomputed_stats: list | None = None,
-              mode: str | None = None) -> MergeStats:
+              mode: str | None = None,
+              stage_as: str | None = None) -> MergeStats:
         """Apply one change batch. Two Spark jobs, no caching barrier:
 
         1. *Stats job* (cheap): per-bucket event counts computed from the
@@ -1258,9 +1447,20 @@ class SnapshotTable(LakeTable):
           ingest runs MOR at high cadence; a maintenance window compacts).
           A MOR merge on a not-yet-existing table falls back to COW — the
           bootstrap write IS the base.
+
+        ``stage_as`` (write-audit-publish, Iceberg ``spark.wap.id``
+        analogue): when set, the merge runs its full compute and data
+        write but commits a STAGED manifest under that id instead of
+        moving the table head. Audit the result with
+        ``read_staged(wap_id)``, then ``publish_staged(wap_id)``
+        (atomic fast-forward; conflicts if the head moved) or
+        ``discard_staged(wap_id)``. The batch id is committed only on
+        publish, so a discarded batch can be re-merged.
         """
         t0 = time.time()
         bid = str(batch_id)
+        if stage_as is not None:
+            stage_as = self._check_ref_name(stage_as)
         if self.exists() and bid in self.committed_batch_ids():
             return MergeStats(batch_id=bid, applied=False, skipped_reason="already-committed",
                               total_buckets=self.n_buckets)
@@ -1316,13 +1516,23 @@ class SnapshotTable(LakeTable):
         if rows_in == 0:
             # still commit: the batch id must be recorded for resume skips
             version = 0 if cur_version is None else cur_version + 1
-            self._commit(self._new_manifest(
+            manifest = self._new_manifest(
                 version, cur_version,
                 (old_manifest or {}).get("schema", batch_schema.jsonValue()),
                 (old_manifest or {}).get("files", {}),
-                {"operation": "merge", "batch-id": bid, **(summary or {})},
+                {"operation": "merge", "batch-id": bid,
+                 **({"wap-id": stage_as} if stage_as else {}),
+                 **(summary or {})},
                 delta_files=old_delta,
-            ))
+            )
+            if stage_as is not None:
+                self._commit_staged(manifest, stage_as)
+                return MergeStats(batch_id=bid, applied=False, rows_in=0,
+                                  total_buckets=self.n_buckets,
+                                  snapshot_version=version, staged_as=stage_as,
+                                  skipped_reason="staged",
+                                  wall_ms=(time.time() - t0) * 1000)
+            self._commit(manifest)
             return MergeStats(batch_id=bid, applied=True, rows_in=0,
                               total_buckets=self.n_buckets, snapshot_version=version,
                               wall_ms=(time.time() - t0) * 1000)
@@ -1474,12 +1684,30 @@ class SnapshotTable(LakeTable):
             delta = {b: fl for b, fl in old_delta.items() if b not in affected_set}
 
         version = 0 if cur_version is None else cur_version + 1
-        self._commit(self._new_manifest(
+        manifest = self._new_manifest(
             version, cur_version, new_schema.jsonValue(), files,
             {"operation": "merge", "batch-id": bid, "mode": mode,
+             **({"wap-id": stage_as} if stage_as else {}),
              **(summary or {})},
             delta_files=delta,
-        ))
+        )
+        if stage_as is not None:
+            self._commit_staged(manifest, stage_as)
+            commit_ms = (time.time() - t_commit) * 1000
+            return MergeStats(
+                batch_id=bid, applied=False, rows_in=rows_in,
+                deletes=n_del, upserts=n_keys - n_del,
+                affected_buckets=affected, total_buckets=self.n_buckets,
+                snapshot_version=version, staged_as=stage_as,
+                skipped_reason="staged",
+                wall_ms=(time.time() - t0) * 1000,
+                phase_ms={
+                    "stats": round(stats_ms, 1),
+                    "apply": round(apply_ms, 1),
+                    "commit": round(commit_ms, 1),
+                },
+            )
+        self._commit(manifest)
         commit_ms = (time.time() - t_commit) * 1000
         return MergeStats(
             batch_id=bid, applied=True, rows_in=rows_in,

@@ -36,6 +36,10 @@ class MergeStats:
     snapshot_version: int | None = None
     wall_ms: float = 0.0
     skipped_reason: str | None = None
+    # set when the merge was STAGED (write-audit-publish): data files are
+    # written and a staged manifest records them, but the table head did
+    # not move — publish_staged(wap_id) fast-forwards it after audit
+    staged_as: str | None = None
     # per-phase wall times (profiling the scaling bottleneck): the key-only
     # stats job, the fused apply job (scan+LWW+write), and manifest commit
     phase_ms: dict[str, float] = field(default_factory=dict)

@@ -2420,3 +2420,58 @@ def q71(spark, sf):
         tbl.merge(ev.where(part == p), batch_id=f"p{p}")
     out = tbl.read_keys(_Q71_KEYS)
     return out.select("user_id", "event_type", "content", "commit_seq")
+
+
+_ORACLE_Q72 = """
+SELECT user_id, event_type, content, commit_seq FROM (
+  SELECT user_id, event_type, value AS content, event_id AS commit_seq,
+         CASE WHEN value < 1 THEN 'D' ELSE 'U' END AS op,
+         ROW_NUMBER() OVER (PARTITION BY user_id, event_type ORDER BY event_id DESC) AS rn
+  FROM events WHERE event_id % 3 <> 1
+) WHERE rn = 1 AND op <> 'D'
+ORDER BY user_id, event_type
+"""
+
+
+@query("q72_lake_wap_publish", _ORACLE_Q72)
+def q72(spark, sf):
+    """Write-audit-publish lifecycle end-to-end (lake/parquet_snapshot.py
+    tag/stage/publish — the Iceberg spark.wap.id workflow): bootstrap the
+    events log, STAGE a poisoned batch (events with event_id%3==1),
+    audit it with read_staged, fail the audit and discard — the head
+    never sees it; then stage the good remainder, publish (atomic
+    fast-forward), tag the published snapshot and return the state read
+    BY TAG. Oracle: plain LWW over all events except the discarded
+    third — a staged-then-discarded batch must leave zero trace."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from .lake.parquet_snapshot import SnapshotTable
+
+    ev = _t(spark, sf, "events").select(
+        F.col("user_id"),
+        F.col("event_type"),
+        F.col("value").alias("content"),
+        F.col("event_id").alias("commit_seq"),
+        F.when(F.col("value") < 1, "D").otherwise("U").alias("op"),
+    )
+    d = tempfile.mkdtemp(prefix="q72_lake_")
+    atexit.register(shutil.rmtree, d, ignore_errors=True)
+    tbl = SnapshotTable(
+        spark, d, key_cols=("user_id", "event_type"),
+        order_cols=("commit_seq",), n_buckets=16,
+    )
+    part = F.pmod("commit_seq", F.lit(3))
+    tbl.merge(ev.where(part == 0), batch_id="base")
+    # poisoned batch: staged, audited, discarded — must leave zero trace
+    tbl.merge(ev.where(part == 1), batch_id="poisoned", stage_as="audit1")
+    assert tbl.read_staged("audit1").count() >= 0  # the audit read
+    tbl.discard_staged("audit1")
+    # good batch: staged then published via atomic fast-forward
+    tbl.merge(ev.where(part == 2), batch_id="good", stage_as="audit2")
+    tbl.publish_staged("audit2")
+    tbl.tag("released")
+    return tbl.read("released").select(
+        "user_id", "event_type", "content", "commit_seq"
+    ).orderBy("user_id", "event_type")

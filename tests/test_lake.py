@@ -506,7 +506,8 @@ def test_remove_orphans(spark, tmp_table_dir):
 
     # grace period: young debris is never swept (in-flight commits)
     res0 = tbl.remove_orphans(older_than_s=10**6)
-    assert res0 == {"data_files": 0, "attempt_manifests": 0, "bloom_sidecars": 0}
+    assert res0 == {"data_files": 0, "attempt_manifests": 0,
+                "bloom_sidecars": 0, "staged_manifests": 0}
 
     # sub-floor grace is refused without force (ADVICE r2: a slow in-flight
     # merge may legitimately spend >1h between first data file and commit)
