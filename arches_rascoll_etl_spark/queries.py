@@ -2475,3 +2475,66 @@ def q72(spark, sf):
     return tbl.read("released").select(
         "user_id", "event_type", "content", "commit_seq"
     ).orderBy("user_id", "event_type")
+
+
+_ORACLE_Q73 = """
+SELECT user_id, event_type, content, commit_seq FROM (
+  SELECT user_id, event_type, value AS content, event_id AS commit_seq,
+         CASE WHEN value < 1 THEN 'D' ELSE 'U' END AS op,
+         ROW_NUMBER() OVER (PARTITION BY user_id, event_type ORDER BY event_id DESC) AS rn
+  FROM events
+  WHERE event_id // 50 < (SELECT MAX(event_id) // 50 FROM events)
+) WHERE rn = 1 AND op <> 'D'
+ORDER BY user_id, event_type
+"""
+
+
+@query("q73_txn_consistent_replay", _ORACLE_Q73)
+def q73(spark, sf):
+    """Transaction-boundary-consistent CDC replay (operators/txn.py +
+    streaming/pipeline.py txn_col): the events log gets synthetic source
+    transactions (txid = event_id div 50) and is replayed in four
+    CONTIGUOUS batches whose cuts land mid-transaction; the replay defers
+    each batch's tail transaction to the next batch (ordering rule:
+    commit order is serial, so a txn is complete once a higher txid
+    appears), applying only whole transactions. Without txn_flush the
+    globally-last transaction never completes, so the oracle is the LWW
+    state over all events whose txid < max txid — if partial-transaction
+    events ever leaked into a merge, the trailing txn's rows would
+    appear and the hash would diverge."""
+    import atexit
+    import os
+    import shutil
+    import tempfile
+
+    from .lake.parquet_snapshot import SnapshotTable
+    from .streaming.checkpoint import Checkpoint
+    from .streaming.pipeline import replay
+
+    ev = _t(spark, sf, "events").select(
+        F.col("user_id"),
+        F.col("event_type"),
+        F.col("value").alias("content"),
+        F.col("event_id").alias("commit_seq"),
+        F.when(F.col("value") < 1, "D").otherwise("U").alias("op"),
+        F.expr("event_id div 50").alias("txid"),
+    )
+    max_id = ev.agg(F.max("commit_seq")).collect()[0][0]
+    cuts = [0] + [max_id * q // 4 for q in (1, 2, 3)] + [max_id]
+
+    def provider(b):
+        return ev.where(
+            (F.col("commit_seq") > cuts[b]) & (F.col("commit_seq") <= cuts[b + 1])
+        )
+
+    d = tempfile.mkdtemp(prefix="q73_txn_")
+    atexit.register(shutil.rmtree, d, ignore_errors=True)
+    tbl = SnapshotTable(
+        spark, os.path.join(d, "tbl"), key_cols=("user_id", "event_type"),
+        order_cols=("commit_seq",), n_buckets=16,
+    )
+    ckpt = Checkpoint(os.path.join(d, "ckpt.json"))
+    replay(tbl, ckpt, provider, range(4), txn_col="txid")
+    return tbl.read().select(
+        "user_id", "event_type", "content", "commit_seq"
+    ).orderBy("user_id", "event_type")

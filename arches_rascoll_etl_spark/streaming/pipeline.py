@@ -79,6 +79,9 @@ def replay(
     fail_before_checkpoint: int | None = None,
     prefetch_stats: bool = True,
     quarantine_table: LakeTable | None = None,
+    txn_col: str | None = None,
+    txn_end_col: str | None = None,
+    txn_flush: bool = False,
 ) -> ReplayResult:
     """Apply each batch exactly once, resumable from the checkpoint.
 
@@ -106,7 +109,24 @@ def replay(
     their lake batch ids, and ordering quarantine-first means an applied
     main batch always has its quarantine rows landed. On a healthy stream
     the quarantine merge is the lake's cheap empty-batch path.
+
+    ``txn_col``: transaction-boundary-consistent application (CDC
+    atomicity — operators/txn.py). Each batch unions the previous batch's
+    DEFERRED carryover, splits by transaction completeness (ordering rule,
+    or end markers via ``txn_end_col``), merges only whole transactions,
+    and persists the new carryover as parquet under
+    ``<checkpoint>.pending/<bid>`` BEFORE the merge — so kill/resume at
+    any point reconstructs the carryover from disk (the split is
+    deterministic, a reprocessed batch rewrites byte-identical halves)
+    and no intermediate snapshot ever exposes a partial source
+    transaction. ``txn_flush=True`` applies the final carryover after the
+    last batch under a deterministic ``txnflush-<bid>`` id (finite-replay
+    convenience; a live tail leaves it pending). Stats prefetch is
+    disabled in txn mode: a batch's apply set depends on the previous
+    batch's carryover, which is unknown at prefetch time.
     """
+    import os
+    import shutil
     from concurrent.futures import ThreadPoolExecutor
 
     res = ReplayResult()
@@ -129,6 +149,20 @@ def replay(
 
     applied_ckpt = checkpoint.applied_batch_ids()
     batches = list(batch_ids)
+    pending_root = checkpoint.path + ".pending" if txn_col is not None else None
+    prev_pending_bid: str | None = None
+    if txn_col is not None:
+        prefetch_stats = False  # apply set depends on the carryover
+        if os.path.isdir(pending_root):
+            # resume/tail-follow: the carryover is the pending parquet of
+            # the LAST APPLIED batch (a stale pending dir from a crash
+            # between pending-write and checkpoint is recomputed, not
+            # trusted), found even when this call's batch list does not
+            # include the already-applied batches
+            for a in reversed(checkpoint.load()["applied"]):
+                if os.path.isdir(os.path.join(pending_root, a)):
+                    prev_pending_bid = a
+                    break
     pool = (
         ThreadPoolExecutor(max_workers=1, thread_name_prefix="stats-prefetch")
         if prefetch_stats and hasattr(table, "key_stats")
@@ -150,10 +184,33 @@ def replay(
             bid = str(b)
             if bid in applied_ckpt:
                 res.skipped.append(bid)
+                if pending_root is not None and os.path.isdir(
+                    os.path.join(pending_root, bid)
+                ):
+                    # an already-applied batch's persisted carryover is
+                    # the resume point for the next unapplied batch
+                    prev_pending_bid = bid
                 continue
             df = dfs.pop(b, None)
             if df is None:
                 df = batch_provider(b)
+            if pending_root is not None:
+                from ..operators.txn import split_txn_complete
+
+                spark = df.sparkSession
+                if prev_pending_bid is not None:
+                    pend = spark.read.parquet(
+                        os.path.join(pending_root, prev_pending_bid)
+                    )
+                    df = pend.unionByName(df, allowMissingColumns=True)
+                df, deferred = split_txn_complete(df, txn_col, txn_end_col)
+                # persist the carryover BEFORE the merge: deterministic
+                # split ⇒ a crash anywhere after this line resumes by
+                # re-reading (or identically rewriting) this parquet
+                deferred.repartition(1).write.mode("overwrite").parquet(
+                    os.path.join(pending_root, bid)
+                )
+                prev_pending_bid = bid
             if fail_before_merge == b:
                 raise InjectedFailure(f"before merge of batch {bid}")
             nxt = next(
@@ -187,12 +244,44 @@ def replay(
             if lineage is not None:
                 lineage.append(rec)
             checkpoint.record(bid, stats.snapshot_version, rec)
+            if pending_root is not None and os.path.isdir(pending_root):
+                # this batch's carryover subsumes all earlier ones
+                for d in os.listdir(pending_root):
+                    if d != bid:
+                        shutil.rmtree(
+                            os.path.join(pending_root, d), ignore_errors=True
+                        )
             if stats.applied:
                 res.applied.append(bid)
                 res.events += stats.rows_in
                 res.stats.append(stats)
             else:
                 res.skipped.append(bid)
+        if (
+            pending_root is not None
+            and txn_flush
+            and prev_pending_bid is not None
+        ):
+            fb = f"txnflush-{prev_pending_bid}"
+            if fb not in applied_ckpt:
+                spark = None
+                pend_path = os.path.join(pending_root, prev_pending_bid)
+                if os.path.isdir(pend_path):
+                    from pyspark.sql import SparkSession
+
+                    spark = SparkSession.getActiveSession()
+                if spark is not None:
+                    pend = spark.read.parquet(pend_path)
+                    t0 = time.time()
+                    stats = _merge_with_retry(table, pend, fb)
+                    rec = batch_record(fb, stats.as_dict(), [], t0)
+                    if lineage is not None:
+                        lineage.append(rec)
+                    checkpoint.record(fb, stats.snapshot_version, rec)
+                    if stats.applied:
+                        res.applied.append(fb)
+                        res.events += stats.rows_in
+                        res.stats.append(stats)
     finally:
         if pool is not None:
             pool.shutdown(wait=False, cancel_futures=True)
