@@ -872,9 +872,17 @@ class SnapshotTable(LakeTable):
             # Copy: callers mutating the returned set must not corrupt the
             # per-handle exactly-once cache shared by later merges.
             return set(cached)
-        ids: set[str] = set(cached) if cached is not None else set()
+        # Merge the cached set ONLY if the cached version is actually met on
+        # the ancestor walk: after a rollback() the parent chain skips the
+        # rolled-back snapshots, so a stale cache head (e.g. the pre-rollback
+        # tip) is NOT an ancestor — seeding from it would keep rolled-back
+        # batch ids "committed" and silently skip their legitimate re-apply.
+        ids: set[str] = set()
         v: int | None = cur
-        while v is not None and v != cached_v:
+        while v is not None:
+            if v == cached_v and cached is not None:
+                ids |= cached
+                break
             try:
                 m = self._load_manifest(v)
             except FileNotFoundError:
@@ -1379,6 +1387,52 @@ class SnapshotTable(LakeTable):
             self.n_buckets = old_n  # failed rewrite must not poison the handle
             raise
         return version
+
+    def rollback(self, version: int | str, summary: dict | None = None) -> int:
+        """Roll the table back to an earlier snapshot by committing a NEW
+        snapshot that reuses the target's manifest verbatim (Iceberg
+        ``rollback_to_snapshot`` semantics, implemented roll-FORWARD so
+        history is never rewritten and concurrent readers never see the
+        head move backwards). ``version`` is an int or a tag name.
+
+        Zero data movement: the new manifest points at the target's data
+        files, delta files, file_stats and blooms unchanged — rollback is
+        one manifest write + one CAS link regardless of table size.
+
+        ``parent_version`` is the ROLLBACK TARGET, not the pre-rollback
+        head: the rolled-back snapshots drop off the ancestor chain, so
+        (a) ``committed_batch_ids`` stops claiming their batch ids and a
+        re-apply of an undone batch lands again (exactly-once is a promise
+        about *surviving* state, not about abandoned history), and
+        (b) ``read_changes(pre_rollback_head, rollback_version)`` emits the
+        retraction stream downstream consumers need to unwind.
+
+        The ops lever WAP doesn't cover: ``publish_staged`` gates *staged*
+        work, ``rollback`` un-does an already-published snapshot (bad merge
+        noticed late, upstream replay poisoned a range, ...)."""
+        cur = self._current_version()
+        if cur is None:
+            raise FileNotFoundError(f"table {self.path} has no snapshots")
+        target = self._resolve_version(version)
+        if target == cur:
+            raise ValueError(f"version {target} is already the current head")
+        m = dict(self._load_manifest(target))  # raises if expired/missing
+        m["version"] = cur + 1
+        m["parent_version"] = target
+        m["summary"] = {
+            "operation": "rollback",
+            "rollback-to": target,
+            "rolled-back-head": cur,
+            **(summary or {}),
+        }
+        # batch-id must NOT carry over: this commit re-publishes old state,
+        # it does not re-apply the target's batch.
+        m["summary"].pop("batch-id", None)
+        self._commit(m)
+        # the bid cache may hold ids from the now-abandoned branch; drop it
+        # so the next committed_batch_ids() walks the surviving chain only
+        self._bid_cache = (None, None)
+        return cur + 1
 
     def key_stats(self, batch: DataFrame) -> list | None:
         """Merge's job 1 (per-bucket event counts from key columns cast to

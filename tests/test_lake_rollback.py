@@ -1,0 +1,138 @@
+"""Snapshot rollback (Iceberg ``rollback_to_snapshot`` analogue).
+
+Rollback re-publishes an earlier snapshot as a NEW head (roll-forward:
+history is append-only, the head never moves backwards on disk) with
+``parent_version`` = the rollback target, so the abandoned snapshots drop
+off the ancestor chain. The tests pin the three contracts that matter to
+a CDC replay driver:
+
+* state: ``read()`` after rollback equals the target snapshot exactly;
+* exactly-once: batch ids applied on the abandoned branch become
+  re-appliable (their effects were undone), including through a STALE
+  ``committed_batch_ids`` cache populated before the rollback;
+* CDC: ``read_changes(abandoned_head, rollback_version)`` emits the
+  retraction stream that unwinds the rolled-back merges downstream.
+
+Reference parity note: arches-rascoll-etl has no undo story at all — a bad
+load is repaired by re-running the loader over corrected CSVs
+(import_business_data in the reference's load scripts); rollback is the
+lake-native replacement.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from arches_rascoll_etl_spark.lake.parquet_snapshot import SnapshotTable
+from arches_rascoll_etl_spark.synth import ChangeLogConfig, batch_events
+
+CFG = ChangeLogConfig(n_events=2_000, n_repos=6, paths_per_repo=60, n_batches=4)
+
+
+def _mk(spark, path, **kw):
+    return SnapshotTable(spark, path, n_buckets=4, **kw)
+
+
+def _state(df):
+    return {
+        tuple(r)
+        for r in df.select("repo", "path", "commit", F.sha2("content", 256)).collect()
+    }
+
+
+def test_rollback_restores_state_and_reopens_batch_ids(spark, tmp_table_dir):
+    tbl = _mk(spark, os.path.join(tmp_table_dir, "rb1"))
+    for b in range(3):
+        tbl.merge(batch_events(spark, CFG, b), batch_id=f"b{b}")
+    s1 = _state(tbl.read(version=1))
+    s2 = _state(tbl.read(version=2))
+    # populate the bid cache BEFORE the rollback: the cache head (v2) is
+    # about to leave the ancestor chain and must not keep b2 "committed"
+    assert tbl.committed_batch_ids() == {"b0", "b1", "b2"}
+
+    v = tbl.rollback(1)
+    assert v == 3
+    assert tbl.current_version() == 3
+    assert _state(tbl.read()) == s1
+    # b2's effects were undone — its id must be re-appliable
+    assert tbl.committed_batch_ids() == {"b0", "b1"}
+
+    # ... including via a FRESH handle whose cache never saw the branch
+    tbl2 = _mk(spark, os.path.join(tmp_table_dir, "rb1"))
+    assert tbl2.committed_batch_ids() == {"b0", "b1"}
+
+    # re-applying the undone batch converges back to the v2 state
+    tbl.merge(batch_events(spark, CFG, 2), batch_id="b2")
+    assert _state(tbl.read()) == s2
+    assert tbl.committed_batch_ids() == {"b0", "b1", "b2"}
+
+
+def test_rollback_via_tag_and_head_guard(spark, tmp_table_dir):
+    tbl = _mk(spark, os.path.join(tmp_table_dir, "rb2"))
+    for b in range(2):
+        tbl.merge(batch_events(spark, CFG, b), batch_id=f"b{b}")
+    tbl.tag("good", version=0)
+    s0 = _state(tbl.read(version=0))
+
+    assert tbl.rollback("good") == 2
+    assert _state(tbl.read()) == s0
+
+    # rolling back to the current head is a no-op request → error
+    with pytest.raises(ValueError):
+        tbl.rollback(2)
+    # unknown snapshot / tag → error, head unchanged
+    with pytest.raises(FileNotFoundError):
+        tbl.rollback(99)
+    assert tbl.current_version() == 2
+
+
+def test_rollback_emits_retraction_change_stream(spark, tmp_table_dir):
+    tbl = _mk(spark, os.path.join(tmp_table_dir, "rb3"))
+    for b in range(3):
+        tbl.merge(batch_events(spark, CFG, b), batch_id=f"b{b}")
+    v_rb = tbl.rollback(1)
+
+    # the change stream from the abandoned head to the rollback snapshot is
+    # exactly the inverse of the stream that built the branch
+    fwd = {
+        (r["change_op"], r["repo"], r["path"])
+        for r in tbl.read_changes(1, 2).collect()
+    }
+    back = {
+        (r["change_op"], r["repo"], r["path"])
+        for r in tbl.read_changes(2, v_rb).collect()
+    }
+    inverse = {"I": "D", "D": "I", "U": "U"}
+    assert back == {(inverse[op], repo, path) for op, repo, path in fwd}
+    # and the net stream across the whole detour is empty
+    assert tbl.read_changes(1, v_rb).count() == 0
+
+
+def test_rollback_preserves_point_lookup_pruning(spark, tmp_table_dir):
+    tbl = _mk(
+        spark,
+        os.path.join(tmp_table_dir, "rb4"),
+        stats_cols=["commit_seq"],
+        key_bloom_fpp=0.01,
+    )
+    for b in range(3):
+        tbl.merge(batch_events(spark, CFG, b), batch_id=f"b{b}")
+    tbl.rollback(1)
+
+    # stats/blooms rode along verbatim: point lookups on the restored head
+    # return exactly the v1 rows for those keys
+    keys = [
+        (r["repo"], r["path"])
+        for r in tbl.read(version=1).select("repo", "path").distinct().limit(5).collect()
+    ]
+    got = _state(tbl.read_keys(keys))
+    want = {t for t in _state(tbl.read(version=1)) if (t[0], t[1]) in set(keys)}
+    assert got == want
+
+    # a merge AFTER the rollback continues the chain normally
+    tbl.merge(batch_events(spark, CFG, 3), batch_id="b3")
+    assert tbl.current_version() == 4
+    assert "b3" in tbl.committed_batch_ids()
