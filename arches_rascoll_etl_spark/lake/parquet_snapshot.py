@@ -225,6 +225,18 @@ class SnapshotTable(LakeTable):
         ]
         return max(versions) if versions else None
 
+    def _committed_versions(self) -> list[int]:
+        """Every committed snapshot version on disk, ascending — the
+        ancestor chain of the head PLUS branches abandoned by rollback()
+        (their manifests stay readable/time-travelable until retention)."""
+        try:
+            entries = os.listdir(os.path.join(self.path, "manifests"))
+        except FileNotFoundError:
+            return []
+        return sorted(
+            int(m.group(1)) for e in entries if (m := self._MANIFEST_RE.match(e))
+        )
+
     def _manifest_path(self, version: int) -> str:
         return os.path.join(self.path, "manifests", f"v{version:06d}.json")
 
@@ -708,6 +720,22 @@ class SnapshotTable(LakeTable):
         pinned = [m for m in expire if m["version"] in tagged]
         expire = [m for m in expire if m["version"] not in tagged]
         keep = keep + pinned
+        # snapshots NOT on the ancestor chain were abandoned by rollback().
+        # They age out like any other snapshot (Iceberg expires unreachable
+        # snapshots the same way): versions are monotone commit order, so
+        # the retention cut is the oldest KEPT chain version — an abandoned
+        # branch newer than the cut stays time-travelable (and un-rollback-
+        # able-to), an older one expires with its chain contemporaries.
+        cut = min(m["version"] for m in chain[:keep_last])
+        chain_versions = {m["version"] for m in chain}
+        for v_side in self._committed_versions():
+            if v_side in chain_versions:
+                continue
+            m_side = self._load_manifest(v_side)
+            if v_side >= cut or v_side in tagged:
+                keep.append(m_side)  # protect its files until it ages out
+            else:
+                expire.append(m_side)
 
         def _refs(m: dict):
             """Every data file a manifest references: base + MOR deltas."""
@@ -782,16 +810,18 @@ class SnapshotTable(LakeTable):
         now = time.time()
         live: set[str] = set()
         live_sidecars: set[str] = set()
-        v: int | None = self._current_version()
-        while v is not None:
+        # EVERY committed manifest on disk is live — the head's ancestor
+        # chain AND branches abandoned by rollback(), which stay readable
+        # until expire_snapshots retires them; sweeping their data files
+        # here would corrupt time travel to a still-present manifest
+        for v in self._committed_versions():
             try:
                 m = self._load_manifest(v)
             except FileNotFoundError:
-                break
+                continue  # raced with a concurrent expire_snapshots
             live.update(f for fl in m["files"].values() for f in fl)
             live.update(f for fl in self._delta_map(m).values() for f in fl)
             live_sidecars.update((m.get("bloom_refs") or {}).values())
-            v = m.get("parent_version")
         removed = {
             "data_files": 0,
             "attempt_manifests": 0,

@@ -111,6 +111,54 @@ def test_rollback_emits_retraction_change_stream(spark, tmp_table_dir):
     assert tbl.read_changes(1, v_rb).count() == 0
 
 
+def test_orphan_sweep_spares_abandoned_branch(spark, tmp_table_dir):
+    """remove_orphans must treat a rollback-abandoned snapshot's files as
+    LIVE while its manifest is still on disk — sweeping them would corrupt
+    time travel (and a roll-forward undo) to a readable manifest."""
+    tbl = _mk(spark, os.path.join(tmp_table_dir, "rb5"))
+    for b in range(3):
+        tbl.merge(batch_events(spark, CFG, b), batch_id=f"b{b}")
+    s2 = _state(tbl.read(version=2))
+    tbl.rollback(1)
+
+    res = tbl.remove_orphans(older_than_s=0.0, force=True)
+    assert res["data_files"] == 0
+    assert _state(tbl.read(version=2)) == s2  # abandoned branch intact
+
+
+def test_expiry_ages_out_abandoned_branch(spark, tmp_table_dir):
+    """Abandoned snapshots age out of retention like chain snapshots:
+    newer than the retention cut → kept (still time-travelable); older →
+    expired with their exclusive files, never a kept snapshot's files."""
+    tbl = _mk(spark, os.path.join(tmp_table_dir, "rb6"))
+    for b in range(3):
+        tbl.merge(batch_events(spark, CFG, b), batch_id=f"b{b}")
+    s2 = _state(tbl.read(version=2))
+    tbl.rollback(1)  # v3; chain v3 -> v1 -> v0, abandoned v2
+
+    # keep_last=2 keeps v3+v1 (cut=1); v2 >= cut stays readable, v0 expires
+    res = tbl.expire_snapshots(keep_last=2)
+    assert res["removed_snapshots"] == 1
+    assert _state(tbl.read(version=2)) == s2
+    with pytest.raises(FileNotFoundError):
+        tbl.read(version=0).collect()
+
+    # two more commits push the cut past the abandoned branch
+    tbl.merge(batch_events(spark, CFG, 2), batch_id="b2")  # v4
+    tbl.merge(batch_events(spark, CFG, 3), batch_id="b3")  # v5
+    head = _state(tbl.read())
+    res = tbl.expire_snapshots(keep_last=2)  # keeps v5+v4; expires v3,v1,v2
+    assert res["removed_snapshots"] == 3
+    with pytest.raises(FileNotFoundError):
+        tbl.read(version=2).collect()
+    # no over-deletion: every file the head references still exists
+    m = tbl._load_manifest(tbl.current_version())
+    for fl in m["files"].values():
+        for f in fl:
+            assert os.path.exists(os.path.join(tbl.path, f)), f
+    assert _state(tbl.read()) == head
+
+
 def test_rollback_preserves_point_lookup_pruning(spark, tmp_table_dir):
     tbl = _mk(
         spark,
