@@ -96,6 +96,23 @@ def merge_sql(
     )
 
 
+def rollback_sql(identifier: str, snapshot_id: int) -> str:
+    """Iceberg's rollback procedure (the SnapshotTable.rollback analogue).
+    ``identifier`` must be catalog-qualified (``cat.db.tbl``) — the CALL
+    runs against the catalog's ``system`` namespace. Pure string builder,
+    testable without an Iceberg jar."""
+    catalog, _, rest = identifier.partition(".")
+    if not rest:
+        raise ValueError(
+            f"identifier {identifier!r} must be catalog-qualified "
+            "(catalog.db.table) to address its system namespace"
+        )
+    return (
+        f"CALL {catalog}.system.rollback_to_snapshot("
+        f"table => '{rest}', snapshot_id => {int(snapshot_id)})"
+    )
+
+
 class IcebergTable(LakeTable):
     """Drop-in backend for real Iceberg catalogs (requires the Iceberg
     runtime jar — unavailable in this sandbox; methods compile the same
@@ -140,3 +157,6 @@ class IcebergTable(LakeTable):
             f"SELECT summary['batch-id'] AS b FROM {self.identifier}.snapshots"
         ).collect()
         return {r.b for r in rows if r.b is not None}
+
+    def rollback(self, snapshot_id: int):  # pragma: no cover - needs iceberg
+        self.spark.sql(rollback_sql(self.identifier, snapshot_id))

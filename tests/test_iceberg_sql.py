@@ -42,3 +42,16 @@ def test_merge_sql_parses_in_spark(spark):
 def test_iceberg_table_raises_without_runtime(spark):
     with pytest.raises(RuntimeError, match="Iceberg runtime"):
         IcebergTable(spark, "cat.db.tbl")
+
+
+def test_rollback_sql_shape_and_parse(spark):
+    from arches_rascoll_etl_spark.lake.table import rollback_sql
+
+    sql = rollback_sql("cat.db.tbl", 42)
+    assert sql == (
+        "CALL cat.system.rollback_to_snapshot(table => 'db.tbl', snapshot_id => 42)"
+    )
+    # Spark's parser accepts CALL statements (analysis needs a real catalog)
+    spark._jsparkSession.sessionState().sqlParser().parsePlan(sql)
+    with pytest.raises(ValueError, match="catalog-qualified"):
+        rollback_sql("unqualified_table", 1)
