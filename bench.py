@@ -1156,6 +1156,16 @@ def write_bench_md(times: dict[str, float], cdc: dict, buckets: dict | None = No
                    standalone: dict | None = None,
                    headline_gate: dict | None = None) -> None:
     os.makedirs(os.path.join(ROOT, "BENCH"), exist_ok=True)
+    # snapshot the inputs so `python bench.py --report-only` can regenerate
+    # this report (folding in hunt windows appended to the history files
+    # since) without re-running any measured phase
+    try:
+        with open(os.path.join(ROOT, "BENCH", "last_inputs.json"), "w") as f:
+            json.dump({"times": times, "cdc": cdc, "buckets": buckets,
+                       "standalone": standalone,
+                       "headline_gate": headline_gate}, f)
+    except TypeError:
+        pass  # non-serializable phase detail must never block the report
     if cdc.get("measurement_failed"):
         _write_bench_md_failed(times, cdc, buckets)
         return
@@ -1661,5 +1671,22 @@ def main() -> None:
     emit()  # final line pair; emit() ends with the compact driver-parseable line
 
 
+def report_only() -> None:
+    """Regenerate BENCH/BASELINE.md from the LAST full run's phase inputs
+    (BENCH/last_inputs.json) plus the CURRENT history files — the cohort /
+    strict-tier / delivered-CPU sections re-read BENCH/*_history.jsonl at
+    write time, so standalone-hunt windows appended since the last full
+    bench show up without re-running any measured phase."""
+    with open(os.path.join(ROOT, "BENCH", "last_inputs.json")) as f:
+        d = json.load(f)
+    write_bench_md(d["times"], d["cdc"], d.get("buckets"),
+                   d.get("standalone"), d.get("headline_gate"))
+    print(json.dumps({"report_only": True,
+                      "baseline_md": os.path.join(ROOT, "BENCH", "BASELINE.md")}))
+
+
 if __name__ == "__main__":
-    main()
+    if "--report-only" in sys.argv:
+        report_only()
+    else:
+        main()
