@@ -144,3 +144,90 @@ def tumbling_window_agg(
         .withColumn("w_start_us", _us(F.col("_w.start")))
         .drop("_w")
     )
+
+
+_PIT_PAY = "_pit_pay"
+_PIT_SIDE = "_pit_side"
+_PIT_ORD = "_pit_ord"
+
+
+def point_in_time_join(
+    facts: DataFrame,
+    history: DataFrame,
+    on: Sequence[str],
+    seq_col: str,
+    valid_from: str = "valid_from_seq",
+    valid_to: str = "valid_to_seq",
+    right_cols: Sequence[str] | None = None,
+) -> DataFrame:
+    """Point-in-time join of facts against an SCD2 history: each fact row
+    picks up the history version whose validity interval contains its
+    ``seq_col`` value (``valid_from <= seq`` and ``seq < valid_to``, open
+    ``valid_to IS NULL`` intervals match everything after ``valid_from``).
+    Left join: a fact probing before the key's first version, or inside a
+    gap a delete opened, gets NULLs. Right payload columns come back
+    prefixed ``r_``.
+
+    The reference's loader only ever keeps the final overwrite per key
+    (arches_rascoll/ref_collection.py:95-97); this is the companion read
+    that CDC consumers of the full history need — "what did this record
+    look like when this fact happened?".
+
+    Scale: because SCD2 intervals are non-overlapping per key, the interval
+    join is exactly a backward as-of join on ``valid_from`` plus a
+    ``valid_to`` post-filter — so this is the union+window formulation
+    (ONE shuffle on the join keys, per-key sort, no range-join/cartesian
+    blowup, no per-row Python), not a BroadcastNestedLoop range join.
+    A naive ``ON from <= seq AND seq < to`` equi+range join degenerates to
+    per-key cross products on hot keys; this stays O(n log n) per key.
+    """
+    on = list(on)
+    if right_cols is None:
+        right_cols = [
+            c
+            for c in history.columns
+            if c not in on and c not in (valid_from, valid_to, "is_current")
+        ]
+    right_cols = list(right_cols)
+
+    pay = F.struct(
+        F.col(valid_to).alias("_vto"),
+        *[F.col(c) for c in right_cols],
+    )
+    pay_type = history.select(pay.alias(_PIT_PAY)).schema[0].dataType
+
+    h = history.select(
+        *on,
+        F.col(valid_from).cast("long").alias(_PIT_ORD),
+        F.lit(0).alias(_PIT_SIDE),
+        pay.alias(_PIT_PAY),
+    )
+    f = facts.select(
+        "*",
+        F.col(seq_col).cast("long").alias(_PIT_ORD),
+        F.lit(1).alias(_PIT_SIDE),
+        F.lit(None).cast(pay_type).alias(_PIT_PAY),
+    )
+    u = f.unionByName(h, allowMissingColumns=True)
+
+    # history rows (side 0) sort before facts at equal seq -> a version is
+    # valid AT its own valid_from (inclusive lower bound)
+    w = (
+        Window.partitionBy(*on)
+        .orderBy(F.col(_PIT_ORD).asc(), F.col(_PIT_SIDE).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    matched = F.last(_PIT_PAY, ignorenulls=True).over(w)
+    # exclusive upper bound: a match whose interval closed at or before the
+    # probe seq is a gap (the key was deleted there) -> NULL payload
+    matched = F.when(
+        matched["_vto"].isNull() | (F.col(_PIT_ORD) < matched["_vto"]), matched
+    )
+    out = (
+        u.withColumn(_PIT_PAY, matched)
+        .where(F.col(_PIT_SIDE) == 1)
+    )
+    return out.select(
+        *facts.columns,
+        *[F.col(_PIT_PAY)[c].alias(f"r_{c}") for c in right_cols],
+    )

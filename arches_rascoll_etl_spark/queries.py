@@ -2538,3 +2538,58 @@ def q73(spark, sf):
     return tbl.read().select(
         "user_id", "event_type", "content", "commit_seq"
     ).orderBy("user_id", "event_type")
+
+
+_ORACLE_Q74 = """
+WITH hist AS (
+  SELECT user_id, event_type, value AS content,
+         event_id AS valid_from_seq,
+         LEAD(event_id) OVER (PARTITION BY user_id, event_type
+                              ORDER BY event_id) AS valid_to_seq,
+         CASE WHEN value < 1 THEN 'D' ELSE 'U' END AS op
+  FROM events
+),
+h AS (SELECT * FROM hist WHERE op = 'U'),
+f AS (SELECT user_id, event_type, event_id, event_id - 1 AS at_seq
+      FROM events WHERE event_id % 3 = 0)
+SELECT f.user_id, f.event_type, f.event_id, f.at_seq,
+       h.content AS r_content, h.valid_from_seq AS r_valid_from_seq
+FROM f LEFT JOIN h
+  ON f.user_id = h.user_id AND f.event_type = h.event_type
+ AND h.valid_from_seq <= f.at_seq
+ AND (h.valid_to_seq IS NULL OR f.at_seq < h.valid_to_seq)
+"""
+
+
+@query("q74_point_in_time_join", _ORACLE_Q74)
+def q74(spark, sf):
+    """Point-in-time join (operators/temporal.py point_in_time_join):
+    each fact probes the SCD2 history (q62's shape, same change log) at
+    ``at_seq = event_id - 1`` — "what did this key's record look like just
+    before this event?" — exercising pre-first-version probes and
+    delete-opened gaps (both NULL) alongside mid-history matches. The
+    oracle is the naive interval LEFT JOIN; the engine runs the
+    union+window as-of formulation instead (ONE shuffle on the key, no
+    range-join blowup on hot keys) and must agree exactly."""
+    from .operators.scd import scd2_history
+    from .operators.temporal import point_in_time_join
+
+    ev = _t(spark, sf, "events")
+    changes = ev.select(
+        F.col("user_id"),
+        F.col("event_type"),
+        F.col("value").alias("content"),
+        F.col("event_id").alias("commit_seq"),
+        F.when(F.col("value") < 1, "D").otherwise("U").alias("op"),
+    )
+    hist = scd2_history(
+        changes, keys=("user_id", "event_type"), order_col="commit_seq"
+    )
+    facts = ev.where(F.col("event_id") % 3 == 0).select(
+        "user_id", "event_type", "event_id",
+        (F.col("event_id") - 1).alias("at_seq"),
+    )
+    return point_in_time_join(
+        facts, hist, on=("user_id", "event_type"), seq_col="at_seq",
+        right_cols=("content", "valid_from_seq"),
+    )

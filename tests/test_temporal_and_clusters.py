@@ -90,3 +90,42 @@ def test_duplicate_clusters_multiple_components(spark):
     )
     got = {r["id"]: r["label"] for r in dedup.duplicate_clusters(pairs).collect()}
     assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 20: 20, 21: 20}
+
+
+def test_point_in_time_join_interval_semantics(spark):
+    # key "a": v1 valid [10, 20), v2 valid [20, 40), deleted at 40 (gap),
+    # v3 valid [50, inf). key "b": single open version [5, inf).
+    hist = spark.createDataFrame(
+        [
+            ("a", "v1", 10, 20),
+            ("a", "v2", 20, 40),
+            ("a", "v3", 50, None),
+            ("b", "w1", 5, None),
+        ],
+        "k string, content string, valid_from_seq long, valid_to_seq long",
+    )
+    facts = spark.createDataFrame(
+        [
+            (1, "a", 9),    # before first version -> NULL
+            (2, "a", 10),   # inclusive lower bound -> v1
+            (3, "a", 19),   # last seq of v1 -> v1
+            (4, "a", 20),   # exclusive upper / inclusive next -> v2
+            (5, "a", 45),   # delete-opened gap -> NULL
+            (6, "a", 50),   # reinsert -> v3
+            (7, "a", 999),  # open interval -> v3
+            (8, "b", 4),    # before first -> NULL
+            (9, "b", 1000), # open interval -> w1
+            (10, "c", 7),   # key with no history -> NULL
+        ],
+        "fact_id long, k string, at_seq long",
+    )
+    out = temporal.point_in_time_join(
+        facts, hist, on=["k"], seq_col="at_seq", right_cols=["content"]
+    )
+    got = {r["fact_id"]: r["r_content"] for r in out.collect()}
+    assert got == {
+        1: None, 2: "v1", 3: "v1", 4: "v2", 5: None,
+        6: "v3", 7: "v3", 8: None, 9: "w1", 10: None,
+    }
+    # every fact row survives exactly once (left-join cardinality)
+    assert out.count() == facts.count()
