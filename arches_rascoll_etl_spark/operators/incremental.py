@@ -223,3 +223,110 @@ def maintain_minmax(
     )
     kept = prev.join(touched, on=list(group_cols), how="left_anti")
     return kept.unionByName(re_agg)
+
+
+# ------------------------------------------------------------- JOIN VIEWS
+
+
+def join_snapshot(
+    facts: DataFrame,
+    dims: DataFrame,
+    fk_cols: Sequence[str],
+    dim_key_cols: Sequence[str],
+) -> DataFrame:
+    """Reference batch join the maintained view must stay equal to: inner
+    equi-join of facts to dims on fact ``fk_cols`` == dim ``dim_key_cols``,
+    keeping all fact columns plus the dim's non-key payload columns (a dim
+    payload column whose name collides with a fact column comes back as
+    ``dim_<name>``). Inner semantics: a fact whose dim row is absent (or
+    deleted) is not in the view."""
+    cond = None
+    for fk, dk in zip(fk_cols, dim_key_cols):
+        c = facts[fk] == dims[dk]
+        cond = c if cond is None else cond & c
+    payload = [c for c in dims.columns if c not in dim_key_cols]
+    taken = set(facts.columns)
+    return facts.join(dims, cond, "inner").select(
+        *[facts[c] for c in facts.columns],
+        *[dims[c].alias(c if c not in taken else f"dim_{c}") for c in payload],
+    )
+
+
+def _touched_keys(changes: DataFrame, key_cols: Sequence[str]) -> DataFrame:
+    """Distinct table keys present in a change stream. Keys are top-level
+    in read_changes output (a key change is a delete+insert pair), so no
+    image explode is needed — unlike affected_groups, which must consider
+    both images of migrating payload columns."""
+    return changes.select(*key_cols).distinct()
+
+
+def maintain_join(
+    fact_table,
+    dim_table,
+    prev: DataFrame | None,
+    fact_from: int | None,
+    fact_to: int | None,
+    dim_from: int | None,
+    dim_to: int | None,
+    fk_cols: Sequence[str],
+) -> DataFrame:
+    """Maintain a materialized fact⋈dim inner-join view across snapshot
+    moves of BOTH sides, reading only the two change streams plus the
+    affected rows — never re-joining the full tables.
+
+    ``prev`` is the view as of ``(fact_from, dim_from)``; the result is the
+    view as of ``(fact_to, dim_to)``, equal to ``join_snapshot`` over the
+    live tables at those versions. ``fk_cols`` are the fact-side foreign-key
+    columns aligned positionally with ``dim_table.key_cols``.
+
+    Algebra (KF = fact keys touched by the fact change stream, KD = dim
+    keys touched by the dim change stream):
+
+    * kept   = prev  ⊳ KF (on fact keys)  ⊳ KD (on fk cols) — rows whose
+      fact AND dim are both untouched are carried verbatim;
+    * aff    = live-facts ⋉ KF  ∪  (live-facts ⋉ KD on fk) ⊳ KF — every
+      fact row whose own key changed, plus unchanged facts referencing a
+      changed dim;
+    * result = kept ∪ (aff ⋈ live-dims).
+
+    Deletes fall out structurally: a deleted fact is in KF but not in the
+    live table (nothing re-joins); a deleted dim's facts re-join against a
+    live-dim side that no longer has the row (inner join drops them).
+    A foreign-key-migrating fact update is in KF, so its prev row is
+    retracted and the new fk joins fresh.
+
+    Scale: cost is O(|changes|) to build KF/KD, one pass over ``prev`` for
+    the anti-joins (AQE size-checks the small key sets into broadcast
+    joins — deliberately no forced hint, a full-table batch degrades to
+    shuffle instead of OOMing), bucket-diffed change reads on both lakes,
+    and a join of only the affected facts against the dim table. The
+    affected-side dim join is the one place a hot dim key concentrates;
+    it inherits the same AQE skew-split the batch join would use."""
+    live_facts = fact_table.read(version=fact_to)
+    live_dims = dim_table.read(version=dim_to)
+    fk_cols = list(fk_cols)
+    fkeys = list(fact_table.key_cols)
+    dkeys = list(dim_table.key_cols)
+    if prev is None or fact_from is None or dim_from is None:
+        return join_snapshot(live_facts, live_dims, fk_cols, dkeys)
+
+    kf = _touched_keys(
+        fact_table.read_changes(fact_from, fact_to, include_old=True), fkeys
+    )
+    kd = _touched_keys(
+        dim_table.read_changes(dim_from, dim_to, include_old=True), dkeys
+    )
+    kd_as_fk = kd.select(
+        *[F.col(dk).alias(fk) for fk, dk in zip(fk_cols, dkeys)]
+    )
+
+    kept = (
+        prev.join(kf, on=fkeys, how="left_anti")
+        .join(kd_as_fk, on=fk_cols, how="left_anti")
+        .select(*prev.columns)  # USING-joins reorder; keep the view schema
+    )
+    aff = live_facts.join(kf, on=fkeys, how="left_semi").unionByName(
+        live_facts.join(kd_as_fk, on=fk_cols, how="left_semi")
+        .join(kf, on=fkeys, how="left_anti")
+    )
+    return kept.unionByName(join_snapshot(aff, live_dims, fk_cols, dkeys))

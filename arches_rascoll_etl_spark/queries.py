@@ -2593,3 +2593,101 @@ def q74(spark, sf):
         facts, hist, on=("user_id", "event_type"), seq_col="at_seq",
         right_cols=("content", "valid_from_seq"),
     )
+
+
+_ORACLE_Q75 = """
+WITH f AS (
+  SELECT o_orderkey, o_custkey,
+         CASE WHEN o_orderkey % 5 <> 0 AND o_orderkey % 7 = 0
+              THEN o_totalprice + 1 ELSE o_totalprice END AS o_totalprice
+  FROM orders
+  WHERE NOT (o_orderkey % 5 <> 0 AND o_orderkey % 7 <> 0
+             AND o_orderkey % 13 = 1)
+),
+d AS (
+  SELECT c_custkey, c_name,
+         CASE WHEN c_custkey % 7 = 0 THEN c_acctbal + 100
+              ELSE c_acctbal END AS c_acctbal
+  FROM customer
+  WHERE NOT (c_custkey % 11 = 3 AND c_custkey % 7 <> 0)
+)
+SELECT f.o_orderkey, f.o_custkey, f.o_totalprice, d.c_name, d.c_acctbal
+FROM f JOIN d ON f.o_custkey = d.c_custkey
+"""
+
+
+@query("q75_incremental_join_view", _ORACLE_Q75)
+def q75(spark, sf):
+    """Incrementally-maintained fact⋈dim join view (operators/incremental.py
+    maintain_join): orders and customer become two lake tables; version 1
+    of each applies a mixed batch (fact inserts/value-updates/deletes, dim
+    updates/deletes) and the materialized view is maintained from the two
+    change streams — prev-view anti-joins on the touched key sets plus a
+    re-join of only the affected facts, never a full re-join. The oracle is
+    the batch inner join over the two FINAL states; any stale, duplicated,
+    or orphaned view row diverges the hash."""
+    import atexit
+    import os
+    import shutil
+    import tempfile
+
+    from .lake.parquet_snapshot import SnapshotTable
+    from .operators.incremental import maintain_join
+
+    ok, ck = F.col("o_orderkey"), F.col("c_custkey")
+    orders = _t(spark, sf, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    cust = _t(spark, sf, "customer").select("c_custkey", "c_name", "c_acctbal")
+
+    d = tempfile.mkdtemp(prefix="q75_join_view_")
+    atexit.register(shutil.rmtree, d, ignore_errors=True)
+    ft = SnapshotTable(
+        spark, os.path.join(d, "facts"), key_cols=("o_orderkey",),
+        order_cols=("commit_seq",), n_buckets=16,
+    )
+    dt = SnapshotTable(
+        spark, os.path.join(d, "dims"), key_cols=("c_custkey",),
+        order_cols=("commit_seq",), n_buckets=8,
+    )
+    seq1 = F.lit(1).alias("commit_seq")
+    seq2 = F.lit(2).alias("commit_seq")
+    up = F.lit("U").alias("op")
+
+    ft.merge(
+        orders.where(ok % 5 != 0).select("*", seq1, up), batch_id="f0"
+    )
+    dt.merge(cust.select("*", seq1, up), batch_id="d0")
+
+    fact_batch = (
+        orders.where(ok % 5 == 0).select("*", seq2, up)  # inserts
+        .unionByName(
+            orders.where((ok % 5 != 0) & (ok % 7 == 0)).select(
+                "o_orderkey", "o_custkey",
+                (F.col("o_totalprice") + 1).alias("o_totalprice"), seq2, up,
+            )
+        )
+        .unionByName(
+            orders.where(
+                (ok % 5 != 0) & (ok % 7 != 0) & (ok % 13 == 1)
+            ).select("*", seq2, F.lit("D").alias("op"))
+        )
+    )
+    dim_batch = (
+        cust.where(ck % 7 == 0).select(
+            "c_custkey", "c_name",
+            (F.col("c_acctbal") + 100).alias("c_acctbal"), seq2, up,
+        )
+        .unionByName(
+            cust.where((ck % 11 == 3) & (ck % 7 != 0)).select(
+                "*", seq2, F.lit("D").alias("op")
+            )
+        )
+    )
+    view0 = maintain_join(ft, dt, None, None, 0, None, 0, fk_cols=["o_custkey"])
+    ft.merge(fact_batch, batch_id="f1")
+    dt.merge(dim_batch, batch_id="d1")
+    view1 = maintain_join(ft, dt, view0, 0, 1, 0, 1, fk_cols=["o_custkey"])
+    return view1.select(
+        "o_orderkey", "o_custkey", "o_totalprice", "c_name", "c_acctbal"
+    )

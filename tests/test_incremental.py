@@ -194,3 +194,100 @@ def test_maintenance_grouped_on_key_column(spark, tmp_table_dir):
         for r in df.collect()
     }
     assert mkey(mnxt) == mkey(mwant)
+
+
+FACT_SCHEMA = "fid long, dkey long, amount long, commit_seq long, op string"
+DIM_SCHEMA = "dkey long, label string, commit_seq long, op string"
+
+
+def _mk_join_tables(spark, tmp_path):
+    ft = SnapshotTable(
+        spark, str(tmp_path / "facts"), key_cols=("fid",),
+        order_cols=("commit_seq",), n_buckets=4,
+    )
+    dt = SnapshotTable(
+        spark, str(tmp_path / "dims"), key_cols=("dkey",),
+        order_cols=("commit_seq",), n_buckets=4,
+    )
+    ft.merge(
+        spark.createDataFrame(
+            [(f, (f % 4) + 1, 10 * f, 1, "U") for f in range(1, 9)], FACT_SCHEMA
+        ),
+        batch_id="f0",
+    )
+    dt.merge(
+        spark.createDataFrame(
+            [(d, f"d{d}", 1, "U") for d in range(1, 6)], DIM_SCHEMA
+        ),
+        batch_id="d0",
+    )
+    return ft, dt
+
+
+def _view_rows(df):
+    return {tuple(r) for r in df.select("fid", "dkey", "amount", "label").collect()}
+
+
+def _want(ft, dt, fv, dv):
+    return _view_rows(
+        INC.join_snapshot(ft.read(version=fv), dt.read(version=dv), ["dkey"], ["dkey"])
+    )
+
+
+def test_maintain_join_both_sides_move(spark, tmp_path):
+    ft, dt = _mk_join_tables(spark, tmp_path)
+    view0 = INC.maintain_join(ft, dt, None, None, 0, None, 0, fk_cols=["dkey"])
+    assert _view_rows(view0) == _want(ft, dt, 0, 0)
+
+    # fact batch: value update (f1), fk migration f2: d3->d4, delete f3,
+    # insert f9 (existing dim), f10 -> brand-new dim d6, f11 -> missing dim
+    ft.merge(
+        spark.createDataFrame(
+            [
+                (1, 2, 999, 2, "U"),
+                (2, 4, 20, 2, "U"),
+                (3, 4, 0, 2, "D"),
+                (9, 5, 90, 2, "U"),
+                (10, 6, 100, 2, "U"),
+                (11, 99, 110, 2, "U"),
+            ],
+            FACT_SCHEMA,
+        ),
+        batch_id="f1",
+    )
+    # dim batch: label update d2, delete d4 (drops f2's migrated row, f4, f8),
+    # insert d6 (picks up f10)
+    dt.merge(
+        spark.createDataFrame(
+            [(2, "d2-v2", 2, "U"), (4, "x", 2, "D"), (6, "d6", 2, "U")],
+            DIM_SCHEMA,
+        ),
+        batch_id="d1",
+    )
+    view1 = INC.maintain_join(ft, dt, view0, 0, 1, 0, 1, fk_cols=["dkey"])
+    assert _view_rows(view1) == _want(ft, dt, 1, 1)
+    # schema parity with the batch join (column order included)
+    assert view1.columns == INC.join_snapshot(
+        ft.read(version=1), dt.read(version=1), ["dkey"], ["dkey"]
+    ).columns
+
+
+def test_maintain_join_one_sided_moves(spark, tmp_path):
+    ft, dt = _mk_join_tables(spark, tmp_path)
+    view = INC.maintain_join(ft, dt, None, None, 0, None, 0, fk_cols=["dkey"])
+
+    # only the dim side moves: the fact change stream is empty
+    dt.merge(
+        spark.createDataFrame([(1, "d1-v2", 2, "U"), (3, "y", 2, "D")], DIM_SCHEMA),
+        batch_id="d1",
+    )
+    view = INC.maintain_join(ft, dt, view, 0, 0, 0, 1, fk_cols=["dkey"])
+    assert _view_rows(view) == _want(ft, dt, 0, 1)
+
+    # only the fact side moves
+    ft.merge(
+        spark.createDataFrame([(5, 2, 555, 2, "U"), (6, 2, 0, 2, "D")], FACT_SCHEMA),
+        batch_id="f1",
+    )
+    view = INC.maintain_join(ft, dt, view, 0, 1, 1, 1, fk_cols=["dkey"])
+    assert _view_rows(view) == _want(ft, dt, 1, 1)
