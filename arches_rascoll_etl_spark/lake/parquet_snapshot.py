@@ -77,6 +77,50 @@ from ..operators.lww import lww_latest
 from .table import LakeTable, MergeStats
 
 _BUCKET = "_bucket"
+_ZV = "_zv"
+
+
+def zorder_key(
+    cols: "Iterable[str]", bounds: dict, zbits: int = 8
+):
+    """Interleaved-bit (Morton / z-order) sort key over numeric columns, as
+    a pure Column expression (Iceberg ``zorder()`` sort-order analogue).
+
+    Each column is linearly scaled into ``zbits``-bit rank space using the
+    table-wide ``bounds[col] = (min, max)``, then the per-column bits are
+    interleaved so that sorting by the key clusters rows that are close in
+    EVERY dimension — per-file [min, max] stats then stay tight on ALL the
+    clustered columns at once, where a lexical multi-column sort only
+    tightens the leading column. Nulls rank 0 (first). Equi-width scaling:
+    heavily skewed columns cluster less evenly — pre-transform (e.g. log)
+    or pick ``strategy="sort"`` for those.
+
+    ``zbits * len(cols)`` must fit a long; 8 bits/dim × up to 7 dims covers
+    file-level pruning (files per bucket are few — finer ranks change
+    nothing once every file boundary is distinguishable)."""
+    cols = list(cols)
+    n = len(cols)
+    if n * zbits > 63:
+        raise ValueError(f"zbits={zbits} × {n} cols exceeds long range")
+    top = (1 << zbits) - 1
+    qs = []
+    for c in cols:
+        mn, mx = bounds[c]
+        if mn is None or mx is None:
+            mn, mx = 0.0, 1.0
+        span = float(mx) - float(mn) or 1.0
+        q = (F.col(c).cast("double") - F.lit(float(mn))) / F.lit(span) * top
+        q = F.least(F.greatest(F.round(q).cast("long"), F.lit(0)), F.lit(top))
+        qs.append(F.coalesce(q, F.lit(0)))
+    z = F.lit(0).cast("long")
+    # earlier-listed columns take the higher interleave position of each
+    # bit group: among equally-significant bits, the first column steers
+    # the curve most (list your most-queried column first)
+    for b in range(zbits):
+        for i, q in enumerate(qs):
+            bit = F.shiftright(q, b).bitwiseAND(F.lit(1))
+            z = z.bitwiseOR(F.shiftleft(bit, b * n + (n - 1 - i)))
+    return z
 
 # Manifest format identity. ``BUCKET_FN_ID`` names the exact bucket
 # function (murmur3 F.hash over the key columns, pmod n_buckets — the
@@ -1142,20 +1186,32 @@ class SnapshotTable(LakeTable):
         return F.pmod(F.hash(*[F.col(k) for k in self.key_cols]), F.lit(self.n_buckets)).cast("int")
 
     def _write_buckets(
-        self, df: DataFrame, commit_id: str, pre_partitioned: bool = False
+        self, df: DataFrame, commit_id: str, pre_partitioned: bool = False,
+        order_by: list | None = None, max_records_per_file: int | None = None,
     ) -> dict[str, list[str]]:
         """Write df (with _bucket col) partitioned by bucket; return
         bucket -> [relative file paths]. ``pre_partitioned``: caller already
         holds HashPartitioning(key_cols, n_buckets) — skip the exchange; each
-        task then writes exactly one bucket directory (one file per bucket)."""
+        task then writes exactly one bucket directory (one file per bucket).
+        ``order_by`` sorts rows within each bucket task (prefixed by the
+        bucket column, so the writer's required partition-column ordering is
+        already satisfied and it adds NO extra sort — physical row order is
+        the requested one); internal ``_``-prefixed sort columns are dropped
+        before the bytes hit disk. ``max_records_per_file`` splits each
+        sorted bucket into several order-contiguous files (the lever that
+        turns a within-bucket sort into per-file stats pruning)."""
         out_dir = os.path.join(self.path, "data", commit_id)
         if not pre_partitioned:
             df = df.repartition(self.n_buckets, *[F.col(k) for k in self.key_cols])
-        (
-            df.write.partitionBy(_BUCKET)
-            .mode("overwrite")
-            .parquet(out_dir)
-        )
+        if order_by:
+            df = df.sortWithinPartitions(_BUCKET, *order_by)
+            drop = [c for c in order_by if isinstance(c, str) and c.startswith("_")]
+            if drop:
+                df = df.drop(*drop)
+        w = df.write.partitionBy(_BUCKET).mode("overwrite")
+        if max_records_per_file:
+            w = w.option("maxRecordsPerFile", int(max_records_per_file))
+        w.parquet(out_dir)
         files: dict[str, list[str]] = {}
         for entry in os.listdir(out_dir):
             if not entry.startswith(f"{_BUCKET}="):
@@ -1371,6 +1427,78 @@ class SnapshotTable(LakeTable):
              "folded_delta_buckets": sum(1 for b in rewrite if deltas.get(b)),
              **(summary or {})},
             delta_files={b: fl for b, fl in deltas.items() if b not in rewrite},
+        ))
+        return version
+
+    def recluster(
+        self,
+        cluster_cols: Iterable[str],
+        *,
+        max_records_per_file: int,
+        strategy: str = "zorder",
+        zbits: int = 8,
+        summary: dict | None = None,
+    ) -> int:
+        """Layout maintenance rewrite for SCAN locality (Iceberg
+        ``rewrite_data_files(strategy='sort', sort_order='zorder(...)')``
+        analogue): rewrite every bucket with rows sorted by the interleaved
+        z-order key of ``cluster_cols`` (``strategy="zorder"``, numeric
+        columns — see :func:`zorder_key`) or lexically by them
+        (``strategy="sort"``), split into order-contiguous files of at most
+        ``max_records_per_file`` rows.
+
+        The bucket-hash layout (and therefore merge/read_keys pruning) is
+        untouched — clustering only reorders rows WITHIN each bucket — but
+        every data file now covers a tight [min, max] slab of the clustered
+        columns, so ``read_range`` on ANY of them (requires ``stats_cols``
+        covering the column) skips most files inside every surviving
+        bucket. This is the secondary-dimension access path a key-bucketed
+        CDC table otherwise lacks: point lookups prune by key buckets,
+        range scans prune by clustered file slabs.
+
+        Cost: one full read → the existing single exchange on the bucket
+        key → per-bucket sort → rewrite; identical shape to ``rebucket``
+        plus the in-task sort. Like compaction, subsequent merges re-dirty
+        touched buckets (COW rewrites them UNsorted; MOR appends deltas) —
+        recluster on the same maintenance cadence as compact. MOR deltas
+        are folded; tombstones are carried (retention semantics survive).
+        Returns the new snapshot version."""
+        if strategy not in ("zorder", "sort"):
+            raise ValueError(f"strategy must be 'zorder' or 'sort' (got {strategy!r})")
+        cluster_cols = list(cluster_cols)
+        if not cluster_cols:
+            raise ValueError("cluster_cols must be non-empty")
+        cur = self._current_version()
+        if cur is None:
+            raise FileNotFoundError(f"table {self.path} has no snapshots")
+        t0 = time.time()
+        m = self._load_manifest(cur)
+        stored = self._read_stored(cur)
+        data = stored.withColumn(_BUCKET, self._bucket_col(stored))
+        if strategy == "zorder":
+            # table-wide bounds: one tiny agg (2 values per clustered col)
+            row = stored.agg(
+                *[F.min(F.col(c).cast("double")).alias(f"mn_{c}") for c in cluster_cols],
+                *[F.max(F.col(c).cast("double")).alias(f"mx_{c}") for c in cluster_cols],
+            ).collect()[0]
+            bounds = {c: (row[f"mn_{c}"], row[f"mx_{c}"]) for c in cluster_cols}
+            data = data.withColumn(_ZV, zorder_key(cluster_cols, bounds, zbits))
+            order_by: list = [_ZV]
+        else:
+            order_by = [F.col(c).asc_nulls_first() for c in cluster_cols]
+        commit_id = uuid.uuid4().hex[:12]
+        files = self._write_buckets(
+            data, commit_id, order_by=order_by,
+            max_records_per_file=max_records_per_file,
+        )
+        version = cur + 1
+        self._commit(self._new_manifest(
+            version, cur, m["schema"], files,
+            {"operation": "recluster", "strategy": strategy,
+             "cluster_cols": cluster_cols,
+             "max_records_per_file": int(max_records_per_file),
+             "wall_ms": round((time.time() - t0) * 1000, 1),
+             **(summary or {})},
         ))
         return version
 

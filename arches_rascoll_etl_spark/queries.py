@@ -2691,3 +2691,52 @@ def q75(spark, sf):
     return view1.select(
         "o_orderkey", "o_custkey", "o_totalprice", "c_name", "c_acctbal"
     )
+
+
+_ORACLE_Q76 = """
+SELECT o_orderkey, o_custkey, o_totalprice
+FROM orders
+WHERE o_custkey BETWEEN (SELECT CAST(floor(MAX(o_custkey) * 0.1) AS BIGINT) FROM orders)
+                    AND (SELECT CAST(floor(MAX(o_custkey) * 0.4) AS BIGINT) FROM orders)
+  AND o_totalprice BETWEEN 50000 AND 150000
+"""
+
+
+@query("q76_lake_zorder_scan", _ORACLE_Q76)
+def q76(spark, sf):
+    """Z-order reclustering end-to-end (lake/parquet_snapshot.py recluster
+    + zorder_key): orders becomes a key-bucketed lake table, is
+    reclustered with rows z-ordered on (o_custkey, o_totalprice) and split
+    into slab files, then a two-dimensional range query runs as a
+    stats-pruned read_range on the FIRST dimension with the second applied
+    as a filter — file skipping now bites on both columns because every
+    file covers a tight [min, max] slab of each (lexical sort would tighten
+    only the leading one; tests/test_lake_stats.py measures the pruning
+    asymmetry). Correctness never depends on the layout: the oracle is the
+    plain two-predicate filter, and the pruned scan must match it
+    row-for-row. Bounds are scale-relative so the same query exercises the
+    layout at every SF."""
+    import atexit
+    import os
+    import shutil
+    import tempfile
+
+    from .lake.parquet_snapshot import SnapshotTable
+
+    o = _t(spark, sf, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
+    d = tempfile.mkdtemp(prefix="q76_zorder_")
+    atexit.register(shutil.rmtree, d, ignore_errors=True)
+    tbl = SnapshotTable(
+        spark, os.path.join(d, "t"),
+        key_cols=("o_orderkey",), order_cols=("o_orderkey",),
+        n_buckets=8, stats_cols=("o_custkey", "o_totalprice"),
+    )
+    tbl.merge(o.select("*", F.lit("U").alias("op")), batch_id="b0")
+    tbl.recluster(["o_custkey", "o_totalprice"], max_records_per_file=400)
+    mx = o.agg(F.max("o_custkey")).collect()[0][0]
+    lo, hi = int(mx * 0.1), int(mx * 0.4)
+    return (
+        tbl.read_range("o_custkey", lo, hi)
+        .where(F.col("o_totalprice").between(50000.0, 150000.0))
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    )

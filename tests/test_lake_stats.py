@@ -111,3 +111,112 @@ def test_mor_deltas_suspend_pruning_not_correctness(spark, tmp_table_dir):
     got2 = tbl.read_range("size", 4000.0, 6000.0)
     assert {tuple(r) for r in got2.collect()} == got
     assert set(got2.inputFiles()) < set(tbl.read().inputFiles())
+
+
+# ------------------------------------------------------------- recluster
+
+
+def _grid_table(spark, path, strategy, n=8_000):
+    """Table with two independent numeric dims a, b; recluster and return
+    (table, manifest, total files)."""
+    import json
+    import os
+
+    t = SnapshotTable(
+        spark, path, key_cols=("k",), order_cols=("seq",),
+        n_buckets=2, stats_cols=("a", "b"),
+    )
+    rows = spark.range(n).select(
+        F.col("id").alias("k"),
+        (F.pmod(F.hash("id"), F.lit(1000))).alias("a"),
+        (F.pmod(F.hash("id", F.lit(7)), F.lit(1000))).alias("b"),
+        F.lit(1).alias("seq"),
+        F.lit("U").alias("op"),
+    )
+    t.merge(rows, batch_id="b0")
+    v = t.recluster(["a", "b"], max_records_per_file=500, strategy=strategy)
+    m = json.load(open(os.path.join(path, "manifests", f"v{v:06d}.json")))
+    files = [f for fl in m["files"].values() for f in fl]
+    return t, m, files
+
+
+def _intersecting(m, files, col, lo, hi):
+    out = 0
+    for f in files:
+        mn, mx = m["file_stats"][f][col]
+        out += not (mx < lo or mn > hi)
+    return out
+
+
+def test_recluster_zorder_preserves_rows_and_prunes_both_dims(spark, tmp_path):
+    t, m, files = _grid_table(spark, str(tmp_path / "z"), "zorder")
+    # exactness: recluster is pure layout — same rows before/after
+    assert t.read(version=0).orderBy("k").collect() == \
+        t.read(version=1).orderBy("k").collect()
+    assert len(files) >= 16  # the split actually happened
+    # a thin slab in EITHER dimension prunes well below the full file set
+    for col in ("a", "b"):
+        hit = _intersecting(m, files, col, 100, 160)
+        assert hit <= len(files) * 0.75, (col, hit, len(files))
+    # read_range stays exact post-recluster
+    got = {r["k"] for r in t.read_range("b", 100, 160).collect()}
+    want = {r["k"] for r in t.read().where(F.col("b").between(100, 160)).collect()}
+    assert got == want and len(want) > 0
+
+
+def test_recluster_sort_tightens_leading_column_only(spark, tmp_path):
+    t, m, files = _grid_table(spark, str(tmp_path / "s"), "sort")
+    lead = _intersecting(m, files, "a", 100, 160)
+    trail = _intersecting(m, files, "b", 100, 160)
+    # lexical sort: leading column prunes hard, trailing column barely
+    assert lead <= len(files) * 0.25, (lead, len(files))
+    assert trail >= len(files) * 0.9, (trail, len(files))
+
+
+def test_zorder_key_bit_interleave(spark):
+    from arches_rascoll_etl_spark.lake.parquet_snapshot import zorder_key
+
+    df = spark.createDataFrame(
+        [(170, 15), (0, 255), (255, 0), (7, 7)], "x long, y long"
+    )
+    got = [
+        r[0]
+        for r in df.select(
+            zorder_key(["x", "y"], {"x": (0, 255), "y": (0, 255)}, 8)
+        ).collect()
+    ]
+
+    def morton(x, y):  # x steers the higher bit of each pair
+        z = 0
+        for i in range(8):
+            z |= ((x >> i) & 1) << (2 * i + 1) | ((y >> i) & 1) << (2 * i)
+        return z
+
+    assert got == [morton(170, 15), morton(0, 255), morton(255, 0), morton(7, 7)]
+
+
+def test_recluster_merge_then_compact_roundtrip(spark, tmp_path):
+    """Merges after a recluster re-dirty buckets but never break reads;
+    a delete survives the recluster rewrite as a retained tombstone."""
+    t = SnapshotTable(
+        spark, str(tmp_path / "rt"), key_cols=("k",), order_cols=("seq",),
+        n_buckets=2, stats_cols=("a",),
+    )
+    t.merge(
+        spark.createDataFrame(
+            [(k, k * 10, 1, "U") for k in range(100)], "k long, a long, seq long, op string"
+        ),
+        batch_id="b0",
+    )
+    t.merge(
+        spark.createDataFrame([(5, 0, 2, "D")], "k long, a long, seq long, op string"),
+        batch_id="b1",
+    )
+    t.recluster(["a"], max_records_per_file=20)
+    assert t.read().where(F.col("k") == 5).count() == 0
+    t.merge(
+        spark.createDataFrame([(5, 555, 3, "U")], "k long, a long, seq long, op string"),
+        batch_id="b2",
+    )
+    rows = {r["k"]: r["a"] for r in t.read().collect()}
+    assert rows[5] == 555 and len(rows) == 100
