@@ -166,3 +166,67 @@ def stratified_sample(
         F.substring(F.md5(_c(id_col).cast("string")), 1, 2 * _SPLIT_HEX_DIGITS), 16, 10
     ).cast("long") % F.lit(resolution)
     return df.where(bucket < thr)
+
+
+def deterministic_shuffle(
+    df: DataFrame,
+    key_cols,
+    seed: str = "",
+    n_partitions: int | None = None,
+) -> DataFrame:
+    """Globally-shuffled, REPRODUCIBLE training order without a global
+    sort: adds ``shuffle_pos`` (0-based, a permutation of row positions)
+    ordered by ``md5(keys ⊕ seed)`` with the keys as tiebreak.
+
+    Training pipelines need corpus order that is (a) statistically
+    shuffled, (b) identical across runs/engines/cluster sizes, and
+    (c) cheap at 100 TB. ``orderBy(rand(seed))`` fails (b) — Spark's rand
+    is partition-layout dependent — and a global ``row_number`` window
+    fails (c) (one-task sort). This is content-addressed instead (same
+    md5-derived determinism as ``hash_split``), and the global rank is
+    assembled scalably:
+
+    1. ``repartitionByRange`` on the hash → ordered, non-overlapping
+       partitions (one shuffle; boundary placement does NOT affect the
+       result, only balance);
+    2. per-partition ``row_number`` windows keyed by the range-partition
+       id — every window is one partition's rows, so the sort is local;
+    3. global position = local rank + exclusive prefix-sum of partition
+       counts (a ``n_partitions``-row aggregate, broadcast back).
+
+    New keys inserted later change positions (it is a permutation, not an
+    append log) — shuffle once per corpus freeze, downstream shards read
+    ``shuffle_pos`` ranges."""
+    keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    h = F.md5(
+        F.concat_ws(
+            "\x1f", *[_c(c).cast("string") for c in keys], F.lit(str(seed))
+        )
+    )
+    spark = df.sparkSession
+    n = n_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    ranged = (
+        df.withColumn("_ds_h", h)
+        .repartitionByRange(n, F.col("_ds_h"), *[F.col(c) for c in keys])
+        .withColumn("_ds_pid", F.spark_partition_id())
+    )
+    w = Window.partitionBy("_ds_pid").orderBy(
+        F.col("_ds_h").asc(), *[F.col(c).asc() for c in keys]
+    )
+    local = ranged.withColumn("_ds_rank", F.row_number().over(w))
+    counts = ranged.groupBy("_ds_pid").agg(F.count(F.lit(1)).alias("_ds_n"))
+    woff = (
+        Window.orderBy("_ds_pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = counts.select(
+        "_ds_pid",
+        F.coalesce(F.sum("_ds_n").over(woff), F.lit(0)).alias("_ds_off"),
+    )
+    return (
+        local.join(F.broadcast(offsets), on="_ds_pid")
+        .withColumn(
+            "shuffle_pos", (F.col("_ds_off") + F.col("_ds_rank") - 1).cast("long")
+        )
+        .drop("_ds_h", "_ds_pid", "_ds_rank", "_ds_off")
+    )

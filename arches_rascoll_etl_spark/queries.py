@@ -2740,3 +2740,116 @@ def q76(spark, sf):
         .where(F.col("o_totalprice").between(50000.0, 150000.0))
         .select("o_orderkey", "o_custkey", "o_totalprice")
     )
+
+
+_ORACLE_Q77 = """
+SELECT doc_id,
+       ROW_NUMBER() OVER (
+         ORDER BY md5(CAST(doc_id AS VARCHAR) || chr(31) || 'r4seed'), doc_id
+       ) - 1 AS shuffle_pos
+FROM documents
+"""
+
+
+@query("q77_deterministic_shuffle", _ORACLE_Q77)
+def q77(spark, sf):
+    """Reproducible corpus shuffle (functions/curation.py
+    deterministic_shuffle): a content-addressed global permutation —
+    ordered by md5(doc_id ⊕ seed) — assembled WITHOUT a global sort:
+    range-partition on the hash, per-partition row_number windows, plus an
+    exclusive prefix-sum of partition counts broadcast back. The oracle is
+    the single-ORDER-BY row_number the engine must equal position-for-
+    position while never running one task's worth of sort."""
+    from .functions.curation import deterministic_shuffle
+
+    d = _t(spark, sf, "documents").select("doc_id")
+    return deterministic_shuffle(d, "doc_id", seed="r4seed").select(
+        "doc_id", "shuffle_pos"
+    )
+
+
+_ORACLE_Q78 = """
+WITH fin AS (
+  SELECT user_id, event_type, content, commit_seq FROM (
+    SELECT user_id, event_type, value AS content, event_id AS commit_seq,
+           CASE WHEN value < 1 THEN 'D' ELSE 'U' END AS op,
+           ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                              ORDER BY event_id DESC) AS rn
+    FROM events
+  ) WHERE rn = 1 AND op <> 'D'
+),
+l AS (SELECT * FROM fin WHERE user_id % 17 <> 2),
+r AS (SELECT user_id, event_type,
+             CASE WHEN user_id % 10 = 0 THEN content + 1 ELSE content END AS content,
+             commit_seq
+      FROM fin WHERE user_id % 13 <> 5)
+SELECT CASE WHEN r.user_id IS NULL THEN 'L'
+            WHEN l.user_id IS NULL THEN 'R'
+            ELSE 'N' END AS diff_op,
+       COALESCE(l.user_id, r.user_id) AS user_id,
+       COALESCE(l.event_type, r.event_type) AS event_type,
+       l.content AS l_content, r.content AS r_content
+FROM l FULL OUTER JOIN r
+  ON l.user_id = r.user_id AND l.event_type = r.event_type
+WHERE l.user_id IS NULL OR r.user_id IS NULL OR l.content <> r.content
+"""
+
+
+@query("q78_table_diff", _ORACLE_Q78)
+def q78(spark, sf):
+    """Anti-entropy replica diff (lake/diff.py table_diff): two lake
+    replicas of the events LWW state diverge by updates (user_id%10),
+    left-only keys (user_id%13 missing on the right) and right-only keys
+    (user_id%17 missing on the left); the diff runs the two-level
+    protocol — per-bucket (count, xor-of-xxhash64) digests in one scan
+    per side, then a full-outer join over ONLY the digest-mismatched
+    buckets — and must emit exactly the naive full-join symmetric
+    difference the oracle computes."""
+    import atexit
+    import os
+    import shutil
+    import tempfile
+
+    from .lake.diff import table_diff
+    from .lake.parquet_snapshot import SnapshotTable
+    from .operators.lww import lww_latest
+
+    ev = _t(spark, sf, "events").select(
+        F.col("user_id"),
+        F.col("event_type"),
+        F.col("value").alias("content"),
+        F.col("event_id").alias("commit_seq"),
+        F.when(F.col("value") < 1, "D").otherwise("U").alias("op"),
+    )
+    fin = (
+        lww_latest(ev, ("user_id", "event_type"), ("commit_seq",))
+        .where(F.col("op") != "D")
+        .drop("op")
+    )
+    d = tempfile.mkdtemp(prefix="q78_diff_")
+    atexit.register(shutil.rmtree, d, ignore_errors=True)
+
+    def mk(name):
+        return SnapshotTable(
+            spark, os.path.join(d, name), key_cols=("user_id", "event_type"),
+            order_cols=("commit_seq",), n_buckets=16,
+        )
+
+    lt, rt = mk("l"), mk("r")
+    lt.overwrite(
+        fin.where(F.col("user_id") % 17 != 2).select("*", F.lit("U").alias("op"))
+    )
+    rt.overwrite(
+        fin.where(F.col("user_id") % 13 != 5)
+        .select(
+            "user_id", "event_type",
+            F.when(F.col("user_id") % 10 == 0, F.col("content") + 1)
+            .otherwise(F.col("content")).alias("content"),
+            "commit_seq", F.lit("U").alias("op"),
+        )
+    )
+    return table_diff(lt, rt).select(
+        "diff_op", "user_id", "event_type",
+        F.col("left.content").alias("l_content"),
+        F.col("right.content").alias("r_content"),
+    )

@@ -103,3 +103,20 @@ def test_stratified_sample_rates_and_determinism(spark):
     assert {(r["doc_id"], r["lang"]) for r in sub.where("lang='en'").collect()} <= {
         (d, x) for d, x in kept if x == "en"
     }
+
+
+def test_deterministic_shuffle_is_layout_independent_permutation(spark):
+    from arches_rascoll_etl_spark.functions.curation import deterministic_shuffle
+
+    df = spark.range(500).select(F.col("id").alias("k"))
+    a = deterministic_shuffle(df, "k", seed="s", n_partitions=3)
+    b = deterministic_shuffle(df.repartition(7), "k", seed="s", n_partitions=11)
+    pa = {r["k"]: r["shuffle_pos"] for r in a.collect()}
+    pb = {r["k"]: r["shuffle_pos"] for r in b.collect()}
+    # same permutation regardless of input layout or partition count
+    assert pa == pb
+    assert sorted(pa.values()) == list(range(500))
+    # a different seed is a different permutation
+    c = deterministic_shuffle(df, "k", seed="other", n_partitions=3)
+    pc = {r["k"]: r["shuffle_pos"] for r in c.collect()}
+    assert pc != pa and sorted(pc.values()) == list(range(500))
