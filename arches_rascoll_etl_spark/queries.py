@@ -2853,3 +2853,78 @@ def q78(spark, sf):
         F.col("left.content").alias("l_content"),
         F.col("right.content").alias("r_content"),
     )
+
+
+_ORACLE_Q79 = """
+WITH base AS (
+  SELECT event_id, user_id,
+         CASE event_id % 4 WHEN 0 THEN 'I' WHEN 1 THEN 'U'
+              WHEN 2 THEN 'D' ELSE 'I' END AS op,
+         CAST(event_id * 10 AS BIGINT) * 1048576 + event_id % 7 AS commit_seq,
+         (event_id % 113 = 0) AS corrupt
+  FROM events
+)
+SELECT CASE WHEN corrupt THEN NULL ELSE op END AS op,
+       COUNT(*) AS n_events,
+       CAST(SUM(CASE WHEN corrupt THEN NULL ELSE commit_seq END) AS BIGINT)
+         AS sum_seq,
+       CAST(SUM(CASE WHEN corrupt THEN NULL ELSE user_id END) AS BIGINT)
+         AS sum_user
+FROM base GROUP BY 1 ORDER BY 1
+"""
+
+
+@query("q79_maxwell_envelope_parse", _ORACLE_Q79)
+def q79(spark, sf):
+    """Maxwell's-daemon envelope ingestion (sources/cdc_envelope.py
+    parse_maxwell) — the OTHER common MySQL binlog-tail format: flat
+    ``{type, ts, xid, data, old}`` messages with the full row image in
+    ``data`` even for deletes, ``bootstrap-insert`` as the snapshot op,
+    and the total order synthesized from (ts, xid). Same output shape as
+    the Debezium adapter (q58), so connector formats swap freely upstream
+    of the quarantine → LWW-merge pipeline. A deterministic subset
+    (event_id % 113) is truncated mid-JSON and must surface as the
+    NULL-op quarantine group."""
+    from pyspark.sql import types as T
+
+    from .sources.cdc_envelope import parse_maxwell
+
+    record = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+        ]
+    )
+    typ = F.element_at(
+        F.array(
+            F.lit("insert"), F.lit("update"),
+            F.lit("delete"), F.lit("bootstrap-insert"),
+        ),
+        (F.col("event_id") % 4 + 1).cast("int"),
+    )
+    msg = F.to_json(
+        F.struct(
+            F.lit("appdb").alias("database"),
+            F.lit("events").alias("table"),
+            typ.alias("type"),
+            (F.col("event_id") * 10).alias("ts"),
+            (F.col("event_id") % 7).alias("xid"),
+            F.struct("user_id", "event_type").alias("data"),
+        )
+    )
+    env = _t(spark, sf, "events").select(
+        "event_id",
+        F.when(F.col("event_id") % 113 == 0, F.substring(msg, 1, 10))
+        .otherwise(msg)
+        .alias("value"),
+    )
+    parsed = parse_maxwell(env, record, keep_raw=False)
+    return (
+        parsed.groupBy("op")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum("commit_seq").cast("long").alias("sum_seq"),
+            F.sum("user_id").cast("long").alias("sum_user"),
+        )
+        .orderBy("op")
+    )

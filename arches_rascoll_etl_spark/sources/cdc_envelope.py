@@ -138,3 +138,68 @@ def to_cdc_envelope(
     out = [F.to_json(F.struct(payload.alias("payload"))).alias("value")]
     out += [F.col(c) for c in (extra_cols or [])]
     return df.select(*out)
+
+
+# ------------------------------------------------------------- Maxwell
+
+_MAXWELL_OP_MAP = {
+    "insert": "I", "bootstrap-insert": "I", "update": "U", "delete": "D",
+}
+
+
+def maxwell_schema(record_schema: T.StructType) -> T.StructType:
+    """Schema of one Maxwell's-daemon message for ``record_schema`` rows
+    (the OTHER widely-deployed MySQL binlog-tail format next to Debezium):
+    flat envelope ``{database, table, type, ts, xid, data, old}`` — the
+    full row image rides in ``data`` (deletes included), ``old`` carries
+    only the CHANGED columns' previous values."""
+    return T.StructType(
+        [
+            T.StructField("database", T.StringType()),
+            T.StructField("table", T.StringType()),
+            T.StructField("type", T.StringType()),
+            T.StructField("ts", T.LongType()),
+            T.StructField("xid", T.LongType()),
+            T.StructField("data", record_schema),
+            T.StructField("old", record_schema),
+        ]
+    )
+
+
+def parse_maxwell(
+    df: DataFrame,
+    record_schema: T.StructType,
+    value_col: str = "value",
+    keep_raw: bool = True,
+) -> DataFrame:
+    """Typed change events from Maxwell JSON messages — same output shape
+    as :func:`parse_cdc_envelope` (record columns, ``op`` I/U/D, ordering
+    metadata, optional ``raw_value``), so the two connector formats are
+    interchangeable upstream of the same quarantine → LWW-merge pipeline.
+
+    Maxwell differences handled here: the row image is always ``data``
+    (including deletes — Maxwell ships the full deleted row, where
+    Debezium uses ``before``); ``bootstrap-insert`` (Maxwell's initial
+    snapshot) maps to I like Debezium's ``r``; the total order is
+    ``(ts, xid)`` — Maxwell has no LSN field, so ``commit_seq`` is
+    synthesized as ``ts * 2^20 + xid`` (binlog ts is seconds-granular;
+    xid orders within the second and is < 2^20 between MySQL checkpoints
+    in practice — callers with a server-id fan-in should order on the
+    pair explicitly instead). Unparseable messages yield all-NULL typed
+    columns for the downstream quarantine, evidence preserved in
+    ``raw_value``."""
+    parsed = F.from_json(F.col(value_col), maxwell_schema(record_schema))
+    op = F.lit(None).cast("string")
+    for src, dst in reversed(list(_MAXWELL_OP_MAP.items())):
+        op = F.when(parsed["type"] == src, F.lit(dst)).otherwise(op)
+    image = parsed["data"]
+    cols = [image[f.name].alias(f.name) for f in record_schema.fields]
+    cols += [
+        op.alias("op"),
+        (parsed["ts"] * F.lit(1 << 20) + F.coalesce(parsed["xid"], F.lit(0)))
+        .alias("commit_seq"),
+        (parsed["ts"] * F.lit(1000)).alias("ts_ms"),
+    ]
+    if keep_raw:
+        cols.append(F.col(value_col).alias(RAW_COL))
+    return df.select(*cols)

@@ -75,3 +75,39 @@ def test_unparseable_messages_flow_to_quarantine_with_raw(spark):
     assert quar.where(F.col(REASON_COL) != "null_key").count() == 0
     assert quar.where(F.col(RAW_COL).isNull()).count() == 0
     assert valid.count() == log.count() - n_bad
+
+
+def test_parse_maxwell_semantics(spark):
+    from arches_rascoll_etl_spark.sources.cdc_envelope import parse_maxwell
+
+    record = T.StructType(
+        [T.StructField("k", T.LongType()), T.StructField("v", T.StringType())]
+    )
+    msgs = [
+        # insert
+        '{"database":"d","table":"t","type":"insert","ts":100,"xid":7,'
+        '"data":{"k":1,"v":"a"}}',
+        # update: old carries only changed cols and must be IGNORED
+        '{"database":"d","table":"t","type":"update","ts":101,"xid":8,'
+        '"data":{"k":1,"v":"b"},"old":{"v":"a"}}',
+        # delete: full image rides in data (not "before")
+        '{"database":"d","table":"t","type":"delete","ts":102,"xid":9,'
+        '"data":{"k":1,"v":"b"}}',
+        # bootstrap snapshot row -> I
+        '{"database":"d","table":"t","type":"bootstrap-insert","ts":50,'
+        '"xid":0,"data":{"k":2,"v":"x"}}',
+        # unknown type -> NULL op, image still parsed
+        '{"database":"d","table":"t","type":"truncate","ts":103,"xid":1,'
+        '"data":{"k":3,"v":"y"}}',
+        # garbage -> all-NULL typed row, raw preserved
+        'not json at all',
+    ]
+    df = spark.createDataFrame([(m,) for m in msgs], "value string")
+    out = parse_maxwell(df, record).collect()
+    assert [r["op"] for r in out] == ["I", "U", "D", "I", None, None]
+    assert [r["v"] for r in out] == ["a", "b", "b", "x", "y", None]
+    # (ts, xid) total order is preserved by the synthesized commit_seq
+    seqs = [r["commit_seq"] for r in out[:4]]
+    assert seqs == sorted(seqs[:3]) + [50 * (1 << 20) + 0]
+    assert out[5]["raw_value"] == "not json at all"
+    assert out[5]["k"] is None and out[5]["commit_seq"] is None
