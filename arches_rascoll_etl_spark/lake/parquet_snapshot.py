@@ -1352,7 +1352,8 @@ class SnapshotTable(LakeTable):
 
     def compact(self, tombstone_watermark=None, summary: dict | None = None, *,
                 expire_tombstones: bool = True,
-                max_delta_files_per_bucket: int | None = None) -> int:
+                max_delta_files_per_bucket: int | None = None,
+                max_records_per_file: int | None = None) -> int:
         """Table maintenance rewrite: expire retained tombstones AND fold
         MOR delta files back into base — the GC pass that keeps both
         tombstone retention and read-side delta resolution bounded at scale
@@ -1376,6 +1377,10 @@ class SnapshotTable(LakeTable):
         at a seconds-cadence MOR ingest, folding every bucket on every
         trigger would re-pay COW's write amplification — the threshold
         amortizes one bucket rewrite over K cheap delta appends.
+
+        ``max_records_per_file`` bounds rewritten file sizes (buckets at
+        10^10-row scale are far past one healthy parquet file); files stay
+        key-grouped per bucket, so every read path is unchanged.
         """
         cur = self._current_version()
         if cur is None:
@@ -1417,7 +1422,9 @@ class SnapshotTable(LakeTable):
         keep = part.where(~expired(part)) if expire_tombstones else part
         keep = keep.withColumn(_BUCKET, self._bucket_col(keep))
         commit_id = uuid.uuid4().hex[:12]
-        new_files = self._write_buckets(keep, commit_id)
+        new_files = self._write_buckets(
+            keep, commit_id, max_records_per_file=max_records_per_file
+        )
         files_map = {b: fl for b, fl in m["files"].items() if b not in rewrite}
         files_map.update(new_files)
         version = cur + 1

@@ -269,3 +269,36 @@ def test_compact_threshold_folds_only_debtor_buckets(spark, tmp_table_dir):
 
     # below threshold: a no-op commit-free call
     assert tbl.compact(expire_tombstones=False, max_delta_files_per_bucket=3) == new_v
+
+
+def test_compact_bounds_file_sizes(spark, tmp_table_dir):
+    """max_records_per_file splits rewritten buckets into several files;
+    reads are unchanged."""
+    import json
+    import os
+
+    from pyspark.sql import functions as F
+
+    t = SnapshotTable(
+        spark, tmp_table_dir, key_cols=("k",), order_cols=("s",),
+        n_buckets=2, merge_mode="mor",
+    )
+    t.merge(
+        spark.range(3000).select(
+            F.col("id").alias("k"), F.lit(1).alias("s"), F.lit("U").alias("op")
+        ),
+        batch_id="b0",
+    )
+    t.merge(
+        spark.range(100).select(
+            F.col("id").alias("k"), F.lit(2).alias("s"), F.lit("U").alias("op")
+        ),
+        batch_id="b1",
+    )
+    v = t.compact(max_records_per_file=400)
+    m = json.load(open(os.path.join(tmp_table_dir, "manifests", f"v{v:06d}.json")))
+    files = [f for fl in m["files"].values() for f in fl]
+    assert len(files) >= 6  # ~1500 rows/bucket -> >=4 files each
+    assert not m.get("delta_files")
+    assert t.read().count() == 3000
+    assert {r["s"] for r in t.read().where(F.col("k") < 100).collect()} == {2}
