@@ -2928,3 +2928,40 @@ def q79(spark, sf):
         )
         .orderBy("op")
     )
+
+
+_ORACLE_Q80 = """
+SELECT field, n_messages FROM (
+  SELECT 'lang' AS field, COUNT(*) AS n_messages
+  FROM events WHERE event_id % 5 = 0
+  UNION ALL
+  SELECT 'size_bytes', COUNT(*) FROM events WHERE event_id % 7 = 0
+) WHERE n_messages > 0 ORDER BY field
+"""
+
+
+@query("q80_schema_drift_report", _ORACLE_Q80)
+def q80(spark, sf):
+    """Envelope schema-drift detection (sources/cdc_envelope.py
+    detect_schema_drift): a connector starts shipping fields the record
+    schema doesn't know (`lang` on every 5th message, `size_bytes` on
+    every 7th) — from_json would silently drop them, so the report
+    inspects the RAW messages with json_object_keys, explodes, and counts
+    unknown fields. The oracle derives the expected counts from the same
+    event_id arithmetic that synthesized the drift."""
+    from .sources.cdc_envelope import detect_schema_drift
+
+    ev = _t(spark, sf, "events")
+    msg = F.to_json(
+        F.struct(
+            F.col("user_id"),
+            F.col("event_type"),
+            F.when(F.col("event_id") % 5 == 0, F.lit("py")).alias("lang"),
+            F.when(F.col("event_id") % 7 == 0, F.col("event_id") * 3)
+            .alias("size_bytes"),
+        )
+    )
+    env = ev.select(msg.alias("value"))
+    return detect_schema_drift(
+        env, known_fields=["user_id", "event_type"]
+    ).select("field", "n_messages").orderBy("field")

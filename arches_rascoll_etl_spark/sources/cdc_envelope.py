@@ -203,3 +203,39 @@ def parse_maxwell(
     if keep_raw:
         cols.append(F.col(value_col).alias(RAW_COL))
     return df.select(*cols)
+
+
+def detect_schema_drift(
+    df: DataFrame,
+    known_fields,
+    value_col: str = "value",
+    json_path: str | None = None,
+) -> DataFrame:
+    """Schema-drift report over raw envelope JSON: which UNKNOWN fields are
+    arriving, in how many messages, and a first example message per field.
+
+    The lake applies additive schema evolution mechanically
+    (``_merge_schemas``, q53); the operational question comes one step
+    EARLIER — "the connector started shipping fields my record schema
+    doesn't know; what are they and since when?" — because ``from_json``
+    silently DROPS fields absent from the caller's schema. This inspects
+    the raw messages instead: ``json_object_keys`` on the message (or on
+    the object at ``json_path``, e.g. ``$.payload.after`` for Debezium
+    envelopes), exploded, filtered to keys outside ``known_fields``,
+    counted per field. All JVM-side (json_object_keys / get_json_object /
+    explode / hash-agg, map-side combined); unparseable messages yield no
+    keys and are the quarantine path's business, not this report's.
+
+    Returns ``(field, n_messages, first_seen_example)`` — feed the fields
+    into the record schema + lake evolution, or alert on them."""
+    raw = F.col(value_col)
+    obj = raw if json_path is None else F.get_json_object(raw, json_path)
+    keys = F.json_object_keys(obj)
+    known = [str(k) for k in known_fields]
+    exploded = df.select(
+        F.explode(keys).alias("field"), raw.alias("_msg")
+    ).where(~F.col("field").isin(*known))
+    return exploded.groupBy("field").agg(
+        F.count(F.lit(1)).alias("n_messages"),
+        F.min("_msg").alias("first_seen_example"),
+    )

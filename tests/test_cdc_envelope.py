@@ -111,3 +111,28 @@ def test_parse_maxwell_semantics(spark):
     assert seqs == sorted(seqs[:3]) + [50 * (1 << 20) + 0]
     assert out[5]["raw_value"] == "not json at all"
     assert out[5]["k"] is None and out[5]["commit_seq"] is None
+
+
+def test_detect_schema_drift_nested_path_and_clean_stream(spark):
+    from arches_rascoll_etl_spark.sources.cdc_envelope import detect_schema_drift
+
+    msgs = [
+        '{"payload":{"after":{"k":1,"v":"a"}}}',
+        '{"payload":{"after":{"k":2,"v":"b","new_col":9}}}',
+        '{"payload":{"after":{"k":3,"v":"c","new_col":8,"other":null}}}',
+        'garbage',                       # unparseable -> no keys, no report
+        '{"payload":{"op":"d"}}',        # no after object -> no keys
+    ]
+    df = spark.createDataFrame([(m,) for m in msgs], "value string")
+    got = {
+        r["field"]: (r["n_messages"], r["first_seen_example"])
+        for r in detect_schema_drift(
+            df, ["k", "v"], json_path="$.payload.after"
+        ).collect()
+    }
+    assert set(got) == {"new_col", "other"}
+    assert got["new_col"][0] == 2 and got["other"][0] == 1
+    assert "new_col" in got["new_col"][1]
+    # a clean stream reports nothing
+    clean = spark.createDataFrame([(msgs[0],)], "value string")
+    assert detect_schema_drift(clean, ["k", "v"], json_path="$.payload.after").count() == 0
