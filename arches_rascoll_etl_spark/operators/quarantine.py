@@ -101,3 +101,42 @@ def as_quarantine_rows(
     if op and op in out.columns:
         out = out.withColumnRenamed(op, f"src_{op}").withColumn(op, F.lit("I"))
     return out
+
+
+def classify_constraints(constraints: "dict[str, Column | str]") -> Column:
+    """Reason column for value-level CHECK constraints (Delta/Iceberg
+    ``ALTER TABLE ADD CONSTRAINT CHECK`` analogue): NULL when every
+    constraint HOLDS, else the first violated constraint's name, checked
+    in dict order. A constraint is an SQL boolean string or Column over
+    the event's columns; a NULL verdict (predicate over NULL values)
+    counts as a VIOLATION — CHECK semantics here are strict because a row
+    that cannot prove validity must not merge silently."""
+    expr = None
+    for name, pred in constraints.items():
+        c = F.expr(pred) if isinstance(pred, str) else pred
+        w = ~F.coalesce(c, F.lit(False))
+        expr = F.when(w, F.lit(name)) if expr is None else expr.when(w, F.lit(name))
+    if expr is None:
+        return F.lit(None).cast("string")
+    return expr.otherwise(F.lit(None).cast("string"))
+
+
+def split_constraints(
+    df: DataFrame, constraints: "dict[str, Column | str]"
+) -> tuple[DataFrame, DataFrame]:
+    """(valid, violations) halves of a change batch under value-level
+    CHECK constraints — the data-quality companion to
+    :func:`split_quarantine`'s structural rules, composing the same way:
+    parse → split_quarantine → split_constraints → merge, with the
+    violating half flowing into the quarantine table via
+    :func:`as_quarantine_rows` (exactly-once, evidence preserved).
+
+    Same scale shape as split_quarantine: the classifier is pure Column
+    predicates fused into the scan, the split is two pushed-down filters,
+    nothing shuffles, and a healthy stream's violations merge is the
+    lake's cheap empty-batch path."""
+    reason = classify_constraints(constraints)
+    tagged = df.withColumn(REASON_COL, reason)
+    valid = tagged.where(F.col(REASON_COL).isNull()).drop(REASON_COL)
+    violations = tagged.where(F.col(REASON_COL).isNotNull())
+    return valid, violations

@@ -2965,3 +2965,63 @@ def q80(spark, sf):
     return detect_schema_drift(
         env, known_fields=["user_id", "event_type"]
     ).select("field", "n_messages").orderBy("field")
+
+
+_ORACLE_Q81 = """
+WITH cls AS (
+  SELECT event_id,
+         CASE WHEN NOT COALESCE(value >= 0, FALSE) THEN 'value_nonneg'
+              WHEN NOT COALESCE(length(event_type) <= 6, FALSE) THEN 'type_len'
+              ELSE 'valid' END AS reason
+  FROM (
+    SELECT event_id,
+           CASE WHEN event_id % 37 = 0 THEN -value
+                WHEN event_id % 41 = 0 THEN NULL
+                ELSE value END AS value,
+           CASE WHEN event_id % 43 = 0 THEN event_type || '_overlong'
+                ELSE event_type END AS event_type
+    FROM events
+  )
+)
+SELECT reason, COUNT(*) AS n_events,
+       CAST(SUM(event_id) AS BIGINT) AS sum_event_id
+FROM cls GROUP BY reason ORDER BY reason
+"""
+
+
+@query("q81_check_constraints", _ORACLE_Q81)
+def q81(spark, sf):
+    """Value-level CHECK constraints (operators/quarantine.py
+    split_constraints — Delta ADD CONSTRAINT CHECK analogue):
+    deterministically corrupt the events stream (negative value per
+    %37, NULL value per %41 — strict CHECK counts the unprovable row as
+    a violation — overlong event_type per %43), split with the real
+    operator under two named constraints, and aggregate both halves per
+    verdict. First-violated-wins ordering matches the oracle's CASE."""
+    from .operators.quarantine import REASON_COL, split_constraints
+
+    ev = _t(spark, sf, "events").select(
+        "event_id",
+        F.when(F.col("event_id") % 37 == 0, -F.col("value"))
+        .when(F.col("event_id") % 41 == 0, None)
+        .otherwise(F.col("value")).alias("value"),
+        F.when(
+            F.col("event_id") % 43 == 0,
+            F.concat(F.col("event_type"), F.lit("_overlong")),
+        ).otherwise(F.col("event_type")).alias("event_type"),
+    )
+    valid, bad = split_constraints(
+        ev,
+        {"value_nonneg": "value >= 0", "type_len": "length(event_type) <= 6"},
+    )
+    tagged = bad.select(F.col(REASON_COL).alias("reason"), "event_id").unionByName(
+        valid.select(F.lit("valid").alias("reason"), "event_id")
+    )
+    return (
+        tagged.groupBy("reason")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum("event_id").cast("long").alias("sum_event_id"),
+        )
+        .orderBy("reason")
+    )

@@ -157,3 +157,29 @@ def test_healthy_stream_records_empty_quarantine_batches(spark, tmp_path):
     assert quar.read().count() == 0
     # empty batches still recorded for idempotence
     assert {"q-0", "q-1"} <= quar.committed_batch_ids()
+
+
+def test_split_constraints_strict_null_and_priority(spark):
+    from arches_rascoll_etl_spark.operators.quarantine import (
+        REASON_COL,
+        split_constraints,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, 10, "ok"),       # valid
+            (2, -1, "ok"),       # violates first constraint
+            (3, None, "ok"),     # NULL verdict -> strict violation
+            (4, 5, "toolongxx"), # violates second constraint
+            (5, -1, "toolongxx"),# violates both -> FIRST constraint wins
+        ],
+        "id long, v long, t string",
+    )
+    valid, bad = split_constraints(
+        df, {"v_nonneg": "v >= 0", "t_len": "length(t) <= 6"}
+    )
+    assert [r["id"] for r in valid.orderBy("id").collect()] == [1]
+    got = {r["id"]: r[REASON_COL] for r in bad.collect()}
+    assert got == {2: "v_nonneg", 3: "v_nonneg", 4: "t_len", 5: "v_nonneg"}
+    # valid half keeps the input schema (no reason column)
+    assert valid.columns == df.columns
