@@ -78,3 +78,45 @@ def test_merge_apply_stage_has_one_exchange_total(spark, tmp_path):
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old_sp)
         spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", old_coal)
+
+
+def test_point_in_time_join_is_one_exchange_no_range_join(spark):
+    """The SCD2 point-in-time join must plan as union + ONE window exchange
+    on the join keys — never a BroadcastNestedLoopJoin/cartesian range
+    join (the hot-key blowup it exists to avoid)."""
+    from arches_rascoll_etl_spark.operators.temporal import point_in_time_join
+
+    hist = spark.createDataFrame(
+        [("a", "v1", 1, 5)],
+        "k string, content string, valid_from_seq long, valid_to_seq long",
+    )
+    facts = spark.createDataFrame([(1, "a", 3)], "fact_id long, k string, at_seq long")
+    plan = _plan(
+        point_in_time_join(facts, hist, on=["k"], seq_col="at_seq",
+                           right_cols=["content"])
+    )
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+    # createDataFrame parallelizes without a shuffle; the window adds the
+    # one exchange (hash on the join key)
+    assert plan.count("Exchange") == 1, plan
+    assert "Window" in plan
+
+
+def test_deterministic_shuffle_no_single_partition_sort(spark):
+    """The corpus shuffle must never collapse to a global one-task sort on
+    the DATA path: the row_number window is partitioned by the range-
+    partition id (never an empty/global partition spec), and the offsets
+    side — the only place a SinglePartition exchange is acceptable,
+    because it holds n_partitions rows, not data — joins back as a
+    broadcast."""
+    from arches_rascoll_etl_spark.functions.curation import deterministic_shuffle
+
+    df = spark.range(1000).select(F.col("id").alias("k"))
+    plan = _plan(deterministic_shuffle(df, "k", seed="s", n_partitions=4))
+    assert "rangepartitioning" in plan.lower(), plan
+    # the data-path row_number window is keyed by the partition id
+    assert "row_number() windowspecdefinition(_ds_pid" in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    # the single-partition exchange exists only under the tiny counts agg
+    single = [seg for seg in plan.splitlines() if "SinglePartition" in seg]
+    assert len(single) <= 1, plan
