@@ -113,6 +113,38 @@ def rollback_sql(identifier: str, snapshot_id: int) -> str:
     )
 
 
+def recluster_sql(
+    identifier: str,
+    cluster_cols,
+    strategy: str = "zorder",
+    target_file_size_bytes: int | None = None,
+) -> str:
+    """Iceberg's layout-rewrite procedure (the SnapshotTable.recluster
+    analogue): ``rewrite_data_files`` with a ``sort`` strategy whose order
+    is ``zorder(cols...)`` or a lexical column list. Catalog-qualified
+    identifier, pure string builder, testable without an Iceberg jar."""
+    if strategy not in ("zorder", "sort"):
+        raise ValueError(f"strategy must be 'zorder' or 'sort' (got {strategy!r})")
+    catalog, _, rest = identifier.partition(".")
+    if not rest:
+        raise ValueError(
+            f"identifier {identifier!r} must be catalog-qualified "
+            "(catalog.db.table) to address its system namespace"
+        )
+    cols = ", ".join(cluster_cols)
+    if not cols:
+        raise ValueError("cluster_cols must be non-empty")
+    order = f"zorder({cols})" if strategy == "zorder" else cols
+    opts = ""
+    if target_file_size_bytes is not None:
+        opts = (", options => map('target-file-size-bytes', "
+                f"'{int(target_file_size_bytes)}')")
+    return (
+        f"CALL {catalog}.system.rewrite_data_files(table => '{rest}', "
+        f"strategy => 'sort', sort_order => '{order}'{opts})"
+    )
+
+
 class IcebergTable(LakeTable):
     """Drop-in backend for real Iceberg catalogs (requires the Iceberg
     runtime jar — unavailable in this sandbox; methods compile the same

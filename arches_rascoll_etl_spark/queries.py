@@ -3025,3 +3025,97 @@ def q81(spark, sf):
         )
         .orderBy("reason")
     )
+
+
+_ORACLE_Q82 = """
+WITH base AS (
+  SELECT event_id, user_id, event_type,
+         CASE WHEN event_id % 127 = 0 THEN NULL ELSE value END AS v,
+         CAST(event_id * 10 AS BIGINT) * 1048576 + event_id % 7 AS commit_seq,
+         CASE event_id % 4 WHEN 0 THEN 'I' WHEN 1 THEN 'U'
+              WHEN 2 THEN 'D' ELSE 'I' END AS op
+  FROM events
+  WHERE event_id % 113 <> 0
+),
+ok AS (SELECT * FROM base WHERE COALESCE(v >= 1, FALSE))
+SELECT user_id, event_type, v, commit_seq FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                               ORDER BY commit_seq DESC) AS rn
+  FROM ok
+) WHERE rn = 1 AND op <> 'D'
+"""
+
+
+@query("q82_connector_pipeline_e2e", _ORACLE_Q82)
+def q82(spark, sf):
+    """The full connector ingest pipeline in one pass: Maxwell envelope
+    messages (a deterministic subset truncated mid-JSON, another carrying
+    NULL payloads) → parse_maxwell → structural quarantine (truncated
+    messages surface as null_key) → CHECK constraint v >= 1 (strict NULL
+    handling) → two exactly-once LWW merges into a bucketed SnapshotTable
+    → final state read. The oracle rebuilds the same filters and the LWW
+    winner from the synthesizing arithmetic; any leak of a quarantined or
+    violating row, lost tombstone, or misordered (ts, xid) seq diverges
+    the hash."""
+    import atexit
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from .lake.parquet_snapshot import SnapshotTable
+    from .operators.quarantine import split_constraints, split_quarantine
+    from .sources.cdc_envelope import parse_maxwell
+
+    record = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("v", T.DoubleType()),
+        ]
+    )
+    typ = F.element_at(
+        F.array(
+            F.lit("insert"), F.lit("update"),
+            F.lit("delete"), F.lit("bootstrap-insert"),
+        ),
+        (F.col("event_id") % 4 + 1).cast("int"),
+    )
+    msg = F.to_json(
+        F.struct(
+            F.lit("appdb").alias("database"),
+            F.lit("events").alias("table"),
+            typ.alias("type"),
+            (F.col("event_id") * 10).alias("ts"),
+            (F.col("event_id") % 7).alias("xid"),
+            F.struct(
+                "event_id", "user_id", "event_type",
+                F.when(F.col("event_id") % 127 == 0, None)
+                .otherwise(F.col("value")).alias("v"),
+            ).alias("data"),
+        )
+    )
+    env = _t(spark, sf, "events").select(
+        F.when(F.col("event_id") % 113 == 0, F.substring(msg, 1, 10))
+        .otherwise(msg)
+        .alias("value"),
+    )
+    parsed = parse_maxwell(env, record, keep_raw=False)
+    valid, _quar = split_quarantine(
+        parsed, ["user_id", "event_type"], ["commit_seq"], "op"
+    )
+    ok, _viol = split_constraints(valid, {"v_ge_one": "v >= 1"})
+
+    d = tempfile.mkdtemp(prefix="q82_pipeline_")
+    atexit.register(shutil.rmtree, d, ignore_errors=True)
+    tbl = SnapshotTable(
+        spark, os.path.join(d, "t"), key_cols=("user_id", "event_type"),
+        order_cols=("commit_seq",), n_buckets=16,
+    )
+    tbl.merge(ok.where(F.col("event_id") % 2 == 0).drop("event_id", "ts_ms"),
+              batch_id="even")
+    tbl.merge(ok.where(F.col("event_id") % 2 == 1).drop("event_id", "ts_ms"),
+              batch_id="odd")
+    return tbl.read().select("user_id", "event_type", "v", "commit_seq")

@@ -55,3 +55,22 @@ def test_rollback_sql_shape_and_parse(spark):
     spark._jsparkSession.sessionState().sqlParser().parsePlan(sql)
     with pytest.raises(ValueError, match="catalog-qualified"):
         rollback_sql("unqualified_table", 1)
+
+
+def test_recluster_sql_shapes():
+    from arches_rascoll_etl_spark.lake.table import recluster_sql
+
+    s = recluster_sql("cat.db.t", ["a", "b"])
+    assert s == ("CALL cat.system.rewrite_data_files(table => 'db.t', "
+                 "strategy => 'sort', sort_order => 'zorder(a, b)')")
+    s2 = recluster_sql("cat.db.t", ["a"], strategy="sort",
+                       target_file_size_bytes=128 * 1024 * 1024)
+    assert "sort_order => 'a'" in s2 and "'134217728'" in s2
+    for bad in (lambda: recluster_sql("t", ["a"]),
+                lambda: recluster_sql("cat.db.t", []),
+                lambda: recluster_sql("cat.db.t", ["a"], strategy="hilbert")):
+        try:
+            bad()
+            raise AssertionError("expected ValueError")
+        except ValueError:
+            pass
