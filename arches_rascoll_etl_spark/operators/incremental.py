@@ -1,4 +1,5 @@
-"""Incremental aggregate maintenance over the lake's CDC feed.
+"""Incremental materialized-view maintenance over the lake's CDC feed:
+delta-folded rollups, affected-group MIN/MAX, and fact⋈dim join views.
 
 The classic materialized-rollup pattern: instead of re-aggregating a
 100 TB table after every merge, convert the snapshot-to-snapshot change
