@@ -68,3 +68,34 @@ def profile_table(
             "(col_name, n_nulls, n_distinct, min_value, max_value)"
         ),
     ).select("col_name", "n_rows", "n_nulls", "n_distinct", "min_value", "max_value")
+
+
+def skew_report(
+    df: DataFrame,
+    key_cols: Iterable[str],
+    top_n: int = 20,
+) -> DataFrame:
+    """Heavy-hitter key report: the ``top_n`` hottest key tuples with
+    absolute counts and share of all rows — the measurement that decides
+    whether a merge/join key needs salting (operators/lww.py
+    lww_latest_salted) or AQE skew-split, BEFORE a hot key turns one task
+    into the straggler that holds a 1000-executor stage hostage.
+
+    Scale shape: one hash aggregation on the keys (map-side combined — a
+    hot key partially collapses on every input partition before the
+    shuffle, so the report itself never suffers the skew it measures),
+    then a per-partition top-n + driver merge (``TakeOrderedAndProject``,
+    never a global sort) against a 1-row total broadcast. Output order is
+    (n_rows DESC, keys ASC) — a total order, so the cut is deterministic
+    on every engine."""
+    keys = list(key_cols)
+    counts = df.groupBy(*keys).agg(F.count(F.lit(1)).alias("n_rows"))
+    total = df.agg(F.count(F.lit(1)).alias("_total"))
+    top = counts.orderBy(
+        F.col("n_rows").desc(), *[F.col(k).asc() for k in keys]
+    ).limit(top_n)
+    return top.crossJoin(F.broadcast(total)).select(
+        *keys,
+        "n_rows",
+        (F.col("n_rows") / F.col("_total")).alias("share"),
+    )

@@ -3119,3 +3119,31 @@ def q82(spark, sf):
     tbl.merge(ok.where(F.col("event_id") % 2 == 1).drop("event_id", "ts_ms"),
               batch_id="odd")
     return tbl.read().select("user_id", "event_type", "v", "commit_seq")
+
+
+_ORACLE_Q83 = """
+WITH c AS (
+  SELECT user_id, event_type, COUNT(*) AS n_rows FROM events
+  GROUP BY user_id, event_type
+),
+t AS (SELECT COUNT(*) AS total FROM events)
+SELECT user_id, event_type, n_rows,
+       n_rows / CAST(total AS DOUBLE) AS share
+FROM c, t
+ORDER BY n_rows DESC, user_id, event_type
+LIMIT 15
+"""
+
+
+@query("q83_skew_report", _ORACLE_Q83)
+def q83(spark, sf):
+    """Heavy-hitter skew report (functions/profiling.py skew_report): the
+    15 hottest (user_id, event_type) keys with counts and share of all
+    rows — the pre-merge measurement that decides salting/AQE-skew-split.
+    One map-side-combined hash agg + per-partition top-n (the plan is
+    TakeOrderedAndProject, never a global sort); (n_rows DESC, keys ASC)
+    is a total order so the cut is engine-deterministic."""
+    from .functions.profiling import skew_report
+
+    ev = _t(spark, sf, "events")
+    return skew_report(ev, ["user_id", "event_type"], top_n=15)

@@ -72,3 +72,17 @@ def test_prefilter_semi_join_is_broadcast(spark):
     )
     plan = pre._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+
+
+def test_skew_report_values_and_plan(spark):
+    from arches_rascoll_etl_spark.functions.profiling import skew_report
+
+    rows = [("hot", i) for i in range(70)] + [("warm", i) for i in range(20)] \
+        + [(f"cold{i}", i) for i in range(10)]
+    df = spark.createDataFrame(rows, "k string, x long")
+    out = skew_report(df, ["k"], top_n=2).collect()
+    assert [(r["k"], r["n_rows"]) for r in out] == [("hot", 70), ("warm", 20)]
+    assert abs(out[0]["share"] - 0.70) < 1e-12
+    plan = out  # already computed; now assert the plan shape
+    p = skew_report(df, ["k"], top_n=2)._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in p, p
