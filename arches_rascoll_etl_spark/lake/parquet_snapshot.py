@@ -1553,6 +1553,83 @@ class SnapshotTable(LakeTable):
             raise
         return version
 
+    def fsck(self, deep: bool = False) -> dict:
+        """Integrity check (Iceberg table-maintenance audit analogue):
+        verify every retained manifest's invariants against the filesystem
+        and report — never mutate. Catches the failure classes a CAS-file
+        lake can actually hit: a data file deleted out-of-band (backup
+        restore, manual rm), a manifest edited by hand, stats/bloom
+        sidecar references to vanished files.
+
+        Checks per committed manifest: (a) every referenced data/delta
+        file exists; (b) bucket-count/key/order/bucket-fn fields pass
+        ``_validate_manifest``; (c) ``file_stats`` and bloom sidecar refs
+        point only at referenced files; (d) parent chain resolves.
+        ``deep=True`` additionally re-reads every CURRENT-snapshot data
+        file's footer (row count readable = parquet magic + footer
+        intact) — an O(files) metadata pass, no data scan.
+
+        Returns ``{ok, missing_files, stale_stats, stale_blooms,
+        broken_parents, bad_manifests, checked_manifests, checked_files,
+        unreadable_files}``; ``ok`` is True iff every list is empty. Scale:
+        pure driver-side manifest walking (manifests are O(files) JSON);
+        the deep pass opens footers only — run it on the maintenance
+        cadence, not per merge."""
+        report = {
+            "missing_files": [], "stale_stats": [], "stale_blooms": [],
+            "broken_parents": [], "bad_manifests": [],
+            "checked_manifests": 0, "checked_files": 0,
+            "unreadable_files": [],
+        }
+        versions = self._committed_versions()
+        vset = set(versions)
+        for v in versions:
+            try:
+                m = self._load_manifest(v)
+            except Exception as e:  # noqa: BLE001 — report, never raise
+                report["bad_manifests"].append({"version": v, "err": repr(e)[:200]})
+                continue
+            report["checked_manifests"] += 1
+            parent = m.get("parent_version")
+            if parent is not None and parent not in vset:
+                report["broken_parents"].append({"version": v, "parent": parent})
+            referenced = {
+                f for fl in m["files"].values() for f in fl
+            } | {f for fl in self._delta_map(m).values() for f in fl}
+            for f in sorted(referenced):
+                report["checked_files"] += 1
+                if not os.path.exists(os.path.join(self.path, f)):
+                    report["missing_files"].append({"version": v, "file": f})
+            for f in (m.get("file_stats") or {}):
+                if f not in referenced:
+                    report["stale_stats"].append({"version": v, "file": f})
+            for f in (m.get("bloom_refs") or {}):
+                if f not in referenced:
+                    report["stale_blooms"].append({"version": v, "file": f})
+        if deep and versions:
+            cur = self._load_manifest(versions[-1])
+            refs = {
+                f for fl in cur["files"].values() for f in fl
+            } | {f for fl in self._delta_map(cur).values() for f in fl}
+            import pyarrow.parquet as pq
+            for f in sorted(refs):
+                p = os.path.join(self.path, f)
+                if not os.path.exists(p):
+                    continue  # already in missing_files
+                try:
+                    pq.ParquetFile(p).metadata.num_rows
+                except Exception as e:  # noqa: BLE001
+                    report["unreadable_files"].append(
+                        {"file": f, "err": repr(e)[:200]}
+                    )
+        report["ok"] = not any(
+            report[k] for k in (
+                "missing_files", "stale_stats", "stale_blooms",
+                "broken_parents", "bad_manifests", "unreadable_files",
+            )
+        )
+        return report
+
     def rollback(self, version: int | str, summary: dict | None = None) -> int:
         """Roll the table back to an earlier snapshot by committing a NEW
         snapshot that reuses the target's manifest verbatim (Iceberg
