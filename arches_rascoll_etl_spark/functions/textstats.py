@@ -11,7 +11,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import Column
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import LongType
@@ -229,4 +229,47 @@ def top_ngrams(
         .agg(F.count("*").alias("doc_freq"))
         .orderBy(F.desc("doc_freq"), F.asc("gram"))
         .limit(top_n)
+    )
+
+
+def strip_repeated_lines(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_doc_freq: int = 2,
+    out_col: str = "text_clean",
+) -> DataFrame:
+    """Cross-document boilerplate removal at line granularity (the
+    RefinedWeb/Gopher-style pass that doc-level dedup cannot express):
+    a line appearing in MORE than ``max_doc_freq`` distinct documents —
+    navigation chrome, license banners, repeated headers — is stripped
+    from every document; each document is reassembled from its surviving
+    lines in original order. Documents with no surviving lines drop out.
+
+    Scale shape: posexplode (one narrow pass) → doc-frequency hash agg on
+    the line (COUNT(DISTINCT doc) planned as two-level agg with map-side
+    partial; the hot boilerplate lines this hunts are exactly the keys
+    that partially collapse before the shuffle) → join survivors back →
+    per-doc reassembly via collect_list + array_sort on (pos, line)
+    structs (one shuffle on the doc id, no window). At 100 TB, shuffle
+    the 8-byte ``xxhash64(line)`` instead of the line text for the
+    doc-frequency pass and join back on the hash — kept literal here so
+    the DuckDB oracle can mirror the join key exactly."""
+    lines = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("_pos", "_line"),
+    )
+    docfreq = lines.groupBy("_line").agg(
+        F.count_distinct(F.col(id_col)).alias("_dfreq")
+    )
+    kept = lines.join(docfreq, on="_line").where(
+        F.col("_dfreq") <= max_doc_freq
+    )
+    ordered = F.array_sort(
+        F.collect_list(F.struct(F.col("_pos"), F.col("_line")))
+    )
+    return kept.groupBy(id_col).agg(
+        F.concat_ws(
+            "\n", F.transform(ordered, lambda x: x["_line"])
+        ).alias(out_col)
     )

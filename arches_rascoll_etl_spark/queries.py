@@ -3147,3 +3147,36 @@ def q83(spark, sf):
 
     ev = _t(spark, sf, "events")
     return skew_report(ev, ["user_id", "event_type"], top_n=15)
+
+
+_ORACLE_Q84 = """
+WITH d AS (SELECT doc_id, string_split(text, chr(10)) AS arr FROM documents),
+l AS (
+  SELECT doc_id,
+         UNNEST([{'ord': i, 'line': arr[i]}
+                 for i in range(1, len(arr) + 1)]) AS e
+  FROM d
+),
+ll AS (SELECT doc_id, e.ord AS ord, e.line AS line FROM l),
+df AS (SELECT line, COUNT(DISTINCT doc_id) AS dfreq FROM ll GROUP BY line),
+kept AS (SELECT ll.doc_id, ll.ord, ll.line
+         FROM ll JOIN df USING (line) WHERE dfreq <= 2)
+SELECT doc_id,
+       array_to_string(array_agg(line ORDER BY ord), chr(10)) AS text_clean
+FROM kept GROUP BY doc_id
+"""
+
+
+@query("q84_strip_boilerplate_lines", _ORACLE_Q84)
+def q84(spark, sf):
+    """Cross-document boilerplate stripping (functions/textstats.py
+    strip_repeated_lines): lines appearing in more than 2 distinct
+    documents are removed corpus-wide and each document reassembled from
+    its surviving lines in order — the repeated-chrome pass doc-level
+    dedup can't express. Exact string equality against the oracle's
+    unnest-with-ordinality formulation checks the doc-frequency
+    threshold, the join, and the order-preserving reassembly at once."""
+    from .functions.textstats import strip_repeated_lines
+
+    d = _t(spark, sf, "documents")
+    return strip_repeated_lines(d, "doc_id", "text", max_doc_freq=2)

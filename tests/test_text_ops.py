@@ -411,3 +411,26 @@ def test_top_ngrams(spark):
     # top-n must be TakeOrderedAndProject (partial top-n), never a global Sort
     plan = res._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
+
+
+def test_strip_repeated_lines_threshold_and_order(spark):
+    from arches_rascoll_etl_spark.functions.textstats import strip_repeated_lines
+
+    boiler = "COPYRIGHT BANNER"
+    docs = [
+        (1, f"{boiler}\nunique one\nshared pair"),
+        (2, f"{boiler}\nshared pair\nunique two"),
+        (3, f"{boiler}\nunique three"),
+        (4, boiler),  # only boilerplate -> doc drops out entirely
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {
+        r["doc_id"]: r["text_clean"]
+        for r in strip_repeated_lines(df, "doc_id", "text", max_doc_freq=2).collect()
+    }
+    # banner in 4 docs (>2) stripped; "shared pair" in exactly 2 docs kept
+    assert out == {
+        1: "unique one\nshared pair",
+        2: "shared pair\nunique two",
+        3: "unique three",
+    }
