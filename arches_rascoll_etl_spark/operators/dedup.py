@@ -621,3 +621,45 @@ def duplicate_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
         return labels
     finally:
         edges.unpersist()
+
+
+def dedup_corpus(
+    docs: DataFrame,
+    id_col: str,
+    labels: DataFrame,
+    score_col: str | None = None,
+) -> DataFrame:
+    """Close the near-dup loop: given the corpus and the duplicate-cluster
+    labels (``duplicate_clusters`` output: one ``(id, label)`` row per doc
+    that appeared in ANY candidate pair), return the corpus with every
+    cluster collapsed to ONE representative. Docs in no cluster pass
+    through untouched (they never enter the labels frame).
+
+    Representative rule: without ``score_col``, the min-id member — which
+    is exactly the cluster label, so the drop set is a pure filter on the
+    labels frame (zero extra joins). With ``score_col`` (a quality signal
+    from e.g. functions/textstats.quality_score), the highest-scoring
+    member wins (ties break to the highest id): one small agg over the
+    labels⋈scores join picks winners per cluster.
+
+    Scale: the drop set is O(clustered docs) — a tiny fraction of the
+    corpus by construction — so the final anti-join broadcasts under AQE;
+    the corpus itself is never shuffled."""
+    if score_col is None:
+        drop = labels.where(F.col("id") != F.col("label")).select(
+            F.col("id").alias(id_col)
+        )
+        return docs.join(drop, on=id_col, how="left_anti")
+    scored = labels.join(
+        docs.select(F.col(id_col).alias("id"), F.col(score_col).alias("_s")),
+        on="id",
+    )
+    reps = scored.groupBy("label").agg(
+        F.max(F.struct(F.col("_s"), F.col("id"))).alias("_m")
+    ).select(F.col("label"), F.col("_m.id").alias("_rep"))
+    drop = (
+        labels.join(reps, on="label")
+        .where(F.col("id") != F.col("_rep"))
+        .select(F.col("id").alias(id_col))
+    )
+    return docs.join(drop, on=id_col, how="left_anti")

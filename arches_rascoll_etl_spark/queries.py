@@ -3180,3 +3180,44 @@ def q84(spark, sf):
 
     d = _t(spark, sf, "documents")
     return strip_repeated_lines(d, "doc_id", "text", max_doc_freq=2)
+
+
+@query("q85_dedup_corpus")
+def q85(spark, sf):
+    """End-to-end near-dup corpus cleaning (operators/dedup.py
+    dedup_corpus): MinHash signatures → LSH candidate pairs → connected-
+    component clusters (q39's machinery) → every cluster collapsed to its
+    min-id representative, untouched docs passing through. The oracle
+    extends q39's recursive-CTE reachability with the same anti-join."""
+    d = _t(spark, sf, "documents")
+    pairs = dedup.lsh_candidate_pairs(
+        d, "doc_id", "text", k_shingles=8, n_hashes=4, bands=4
+    )
+    labels = dedup.duplicate_clusters(pairs)
+    return dedup.dedup_corpus(
+        d.select("doc_id", "lang"), "doc_id", labels
+    ).orderBy("doc_id")
+
+
+_ORACLES["q85_dedup_corpus"] = f"""
+    WITH RECURSIVE {_minhash_sig_cte(n_hashes=4, k=8)},
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM sig a JOIN sig b
+        ON a.doc_id < b.doc_id
+       AND (a.mh0 = b.mh0 OR a.mh1 = b.mh1 OR a.mh2 = b.mh2 OR a.mh3 = b.mh3)
+    ),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION SELECT id_b, id_a FROM pairs
+    ),
+    cc AS (
+      SELECT DISTINCT src AS id, src AS label FROM edges
+      UNION
+      SELECT e.dst AS id, cc.label FROM cc JOIN edges e ON cc.id = e.src
+    ),
+    lab AS (SELECT id, MIN(label) AS label FROM cc GROUP BY 1)
+    SELECT doc_id, lang FROM documents
+    WHERE doc_id NOT IN (SELECT id FROM lab WHERE id <> label)
+    ORDER BY doc_id
+    """

@@ -129,3 +129,24 @@ def test_point_in_time_join_interval_semantics(spark):
     }
     # every fact row survives exactly once (left-join cardinality)
     assert out.count() == facts.count()
+
+
+def test_dedup_corpus_representatives(spark):
+    docs = spark.createDataFrame(
+        [(i, f"d{i}", float(i % 5)) for i in range(1, 9)],
+        "doc_id long, body string, q double",
+    )
+    # clusters: {1,2,3} and {6,7}; 4,5,8 unclustered
+    labels = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (6, 6), (7, 6)], "id long, label long"
+    )
+    keep = dedup.dedup_corpus(docs, "doc_id", labels)
+    assert sorted(r["doc_id"] for r in keep.collect()) == [1, 4, 5, 6, 8]
+    # score-based: highest q wins (q = doc_id%5 -> cluster1 winner id=3 (q=3),
+    # cluster6 winner id=7 (q=2))
+    keep_s = dedup.dedup_corpus(docs, "doc_id", labels, score_col="q")
+    assert sorted(r["doc_id"] for r in keep_s.collect()) == [3, 4, 5, 7, 8]
+    # tie on score breaks to the highest id
+    tied = docs.withColumn("q", F.lit(1.0))
+    keep_t = dedup.dedup_corpus(tied, "doc_id", labels, score_col="q")
+    assert sorted(r["doc_id"] for r in keep_t.collect()) == [3, 4, 5, 7, 8]
