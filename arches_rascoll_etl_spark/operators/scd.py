@@ -69,3 +69,66 @@ def scd2_history(
         F.col(_VALID_TO),
         F.col(_VALID_TO).isNull().alias(_IS_CURRENT),
     )
+
+
+def maintain_scd2(
+    history,
+    changes: DataFrame,
+    keys: Sequence[str],
+    order_col: str,
+    batch_seq: int,
+    batch_id: str,
+    op_col: str = "op",
+    upsert_op: str = "U",
+):
+    """Maintain an SCD2 history LAKE table incrementally from one ordered
+    change batch — cost O(changed keys), never a full-log recompute.
+
+    ``history`` is a :class:`~..lake.parquet_snapshot.SnapshotTable` keyed
+    on ``(*keys, valid_from_seq)`` and ordered on ``_scd_seq`` (this
+    call's ``batch_seq`` — pass a monotone integer per maintenance call;
+    the first call bootstraps an empty table). The update is two pieces,
+    merged as ONE exactly-once batch:
+
+    * intra-batch intervals: :func:`scd2_history` over the batch alone;
+    * boundary closes: each touched key's currently-OPEN row (from the
+      live table) gets ``valid_to = first new change's order`` — an
+      upsert of the SAME (keys, valid_from) row at a higher ``_scd_seq``,
+      so LWW replaces the open version in place. A batch that starts with
+      a delete closes the open row and (until a later upsert) leaves the
+      key with no current version — exactly the full-recompute semantics.
+
+    Precondition (same ordering guarantee the CDC replay relies on):
+    every ``order_col`` value in this batch is greater than every already-
+    applied value FOR THE SAME KEY — then the incrementally-maintained
+    table equals ``scd2_history`` over the concatenated log at every
+    version (tests/test_scd.py asserts this per batch).
+
+    Scale: one window over the batch, one semi-join of the live history
+    against the batch's touched keys (AQE broadcasts the small key set;
+    when the history table records stats on ``is_current`` the open-row
+    scan also file-prunes), and one bucketed merge of O(batch + touched
+    open rows)."""
+    new_hist = scd2_history(changes, keys, order_col, op_col, upsert_op)
+    firsts = changes.groupBy(*keys).agg(
+        F.min(F.col(order_col)).alias("_first_new")
+    )
+    if history.exists():
+        live = history.read()
+        closed = (
+            live.where(F.col(_VALID_TO).isNull())
+            .join(firsts, on=list(keys))
+            .withColumn(_VALID_TO, F.col("_first_new"))
+            .withColumn(_IS_CURRENT, F.lit(False))
+            .drop("_first_new", "_scd_seq")
+        )
+        batch_rows = closed.unionByName(new_hist)
+    else:
+        batch_rows = new_hist
+    batch_rows = batch_rows.select(
+        "*",
+        F.lit(int(batch_seq)).alias("_scd_seq"),
+        F.lit("U").alias(history.op_col),
+    )
+    history.merge(batch_rows, batch_id=batch_id)
+    return history

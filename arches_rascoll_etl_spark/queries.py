@@ -2520,7 +2520,8 @@ def q73(spark, sf):
         F.expr("event_id div 50").alias("txid"),
     )
     max_id = ev.agg(F.max("commit_seq")).collect()[0][0]
-    cuts = [0] + [max_id * q // 4 for q in (1, 2, 3)] + [max_id]
+    # lower fence -1: event ids start at 0, and (> cut) is exclusive
+    cuts = [-1] + [max_id * q // 4 for q in (1, 2, 3)] + [max_id]
 
     def provider(b):
         return ev.where(
@@ -3221,3 +3222,66 @@ _ORACLES["q85_dedup_corpus"] = f"""
     WHERE doc_id NOT IN (SELECT id FROM lab WHERE id <> label)
     ORDER BY doc_id
     """
+
+
+_ORACLE_Q86 = """
+SELECT user_id, event_type, content, valid_from_seq, valid_to_seq,
+       (valid_to_seq IS NULL) AS is_current
+FROM (
+  SELECT user_id, event_type, value AS content,
+         event_id AS valid_from_seq,
+         LEAD(event_id) OVER (PARTITION BY user_id, event_type
+                              ORDER BY event_id) AS valid_to_seq,
+         CASE WHEN value < 1 THEN 'D' ELSE 'U' END AS op
+  FROM events
+) WHERE op = 'U'
+"""
+
+
+@query("q86_incremental_scd2", _ORACLE_Q86)
+def q86(spark, sf):
+    """Incrementally-maintained SCD2 history (operators/scd.py
+    maintain_scd2): the events log is applied in three CONTIGUOUS batches
+    to a history lake table keyed on (keys, valid_from_seq) — each batch
+    contributes its intra-batch intervals plus in-place closes of the
+    touched keys' open rows, O(changed keys) per batch. The oracle is
+    q62's FULL-log recompute: the incremental path must land on the
+    identical interval set, including versions whose close arrives
+    batches later."""
+    import atexit
+    import os
+    import shutil
+    import tempfile
+
+    from .lake.parquet_snapshot import SnapshotTable
+    from .operators.scd import maintain_scd2
+
+    ev = _t(spark, sf, "events").select(
+        F.col("user_id"),
+        F.col("event_type"),
+        F.col("value").alias("content"),
+        F.col("event_id").alias("commit_seq"),
+        F.when(F.col("value") < 1, "D").otherwise("U").alias("op"),
+    )
+    max_id = ev.agg(F.max("commit_seq")).collect()[0][0]
+    # lower fence -1: event ids start at 0, and (> cut) is exclusive
+    cuts = [-1] + [max_id * q // 3 for q in (1, 2)] + [max_id]
+    d = tempfile.mkdtemp(prefix="q86_scd2_")
+    atexit.register(shutil.rmtree, d, ignore_errors=True)
+    hist = SnapshotTable(
+        spark, os.path.join(d, "hist"),
+        key_cols=("user_id", "event_type", "valid_from_seq"),
+        order_cols=("_scd_seq",), n_buckets=16,
+    )
+    for b in range(3):
+        batch = ev.where(
+            (F.col("commit_seq") > cuts[b]) & (F.col("commit_seq") <= cuts[b + 1])
+        )
+        maintain_scd2(
+            hist, batch, ("user_id", "event_type"), "commit_seq",
+            batch_seq=b, batch_id=f"b{b}",
+        )
+    return hist.read().select(
+        "user_id", "event_type", "content",
+        "valid_from_seq", "valid_to_seq", "is_current",
+    )

@@ -49,3 +49,59 @@ def test_scd2_keys_are_independent(spark):
         ("a", 11, None, True, "v2"),
         ("b", 1, None, True, "w1"),
     ]
+
+
+def test_maintain_scd2_equals_full_recompute_at_every_batch(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from arches_rascoll_etl_spark.lake.parquet_snapshot import SnapshotTable
+    from arches_rascoll_etl_spark.operators.scd import maintain_scd2
+    from arches_rascoll_etl_spark.synth import ChangeLogConfig, batch_events
+
+    cfg = ChangeLogConfig(
+        n_events=3_000, n_repos=5, paths_per_repo=40, n_batches=3, delete_pct=12
+    )
+    keys, order = ("repo", "path"), "commit_seq"
+    hist = SnapshotTable(
+        spark, str(tmp_path / "hist"),
+        key_cols=(*keys, "valid_from_seq"), order_cols=("_scd_seq",),
+        n_buckets=8,
+    )
+    applied = None
+    for b in range(cfg.n_batches):
+        batch = batch_events(spark, cfg, b).drop("batch_id")
+        maintain_scd2(hist, batch, keys, order, batch_seq=b, batch_id=f"b{b}")
+        applied = batch if applied is None else applied.unionByName(batch)
+        want = scd2_history(applied, keys, order)
+        cols = sorted(want.columns)
+        got = hist.read().select(*cols)
+        w, g = (
+            {tuple(r) for r in want.select(*cols).collect()},
+            {tuple(r) for r in got.collect()},
+        )
+        assert w == g, f"diverged at batch {b}: only_want={list(w-g)[:3]} only_got={list(g-w)[:3]}"
+
+
+def test_maintain_scd2_delete_leading_batch_closes_open_row(spark, tmp_path):
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from arches_rascoll_etl_spark.lake.parquet_snapshot import SnapshotTable
+    from arches_rascoll_etl_spark.operators.scd import maintain_scd2
+
+    hist = SnapshotTable(
+        spark, str(tmp_path / "hist"),
+        key_cols=("k", "valid_from_seq"), order_cols=("_scd_seq",), n_buckets=2,
+    )
+    schema = "k string, v string, commit_seq long, op string"
+    maintain_scd2(
+        hist, spark.createDataFrame([("a", "v1", 1, "U")], schema),
+        ("k",), "commit_seq", batch_seq=0, batch_id="b0",
+    )
+    # next batch: delete at 5, reinsert at 9
+    maintain_scd2(
+        hist, spark.createDataFrame([("a", None, 5, "D"), ("a", "v2", 9, "U")], schema),
+        ("k",), "commit_seq", batch_seq=1, batch_id="b1",
+    )
+    rows = {r["valid_from_seq"]: (r["valid_to_seq"], r["is_current"])
+            for r in hist.read().collect()}
+    assert rows == {1: (5, False), 9: (None, True)}
