@@ -833,9 +833,13 @@ class SnapshotTable(LakeTable):
     _ORPHAN_GRACE_FLOOR_S = 6 * 3600.0
 
     def remove_orphans(
-        self, older_than_s: float = 72 * 3600.0, *, force: bool = False
+        self, older_than_s: float = 72 * 3600.0, *, force: bool = False,
+        dry_run: bool = False,
     ) -> dict:
-        """Orphan cleanup (Iceberg remove_orphan_files analogue): delete
+        """Orphan cleanup (Iceberg remove_orphan_files analogue — incl.
+        its ``dry_run``: count-and-report without touching the filesystem,
+        the sanity check an operator runs before the first sweep of a
+        production table): delete
         data files referenced by NO retained manifest, plus leftover
         ``attempt-*`` manifests — the debris of crashes between data write
         and commit, and of losing CAS racers. Only files older than
@@ -882,7 +886,8 @@ class SnapshotTable(LakeTable):
                 continue
             p = os.path.join(man_dir, fn)
             if now - os.path.getmtime(p) > older_than_s:
-                os.unlink(p)
+                if not dry_run:
+                    os.unlink(p)
                 removed["staged_manifests"] += 1
             else:
                 with open(p) as f:
@@ -907,25 +912,28 @@ class SnapshotTable(LakeTable):
                         rel = os.path.join("data", commit_dir, bucket_dir, data_fn)
                         p = os.path.join(bd, fn)
                         if rel not in live and now - os.path.getmtime(p) > older_than_s:
-                            os.unlink(p)
+                            if not dry_run:
+                                os.unlink(p)
                             removed["data_files"] += 1
-                    if not os.listdir(bd):
+                    if not dry_run and not os.listdir(bd):
                         os.rmdir(bd)
-                if not os.listdir(cd):
+                if not dry_run and not os.listdir(cd):
                     os.rmdir(cd)
         man_dir = os.path.join(self.path, "manifests")
         for fn in os.listdir(man_dir):
             if fn.startswith("attempt-"):
                 p = os.path.join(man_dir, fn)
                 if now - os.path.getmtime(p) > older_than_s:
-                    os.unlink(p)
+                    if not dry_run:
+                        os.unlink(p)
                     removed["attempt_manifests"] += 1
             elif fn.startswith("blooms-") and fn not in live_sidecars:
                 # a CAS-losing commit's bloom sidecar: unreferenced by any
                 # retained manifest — same debris class as attempt-*
                 p = os.path.join(man_dir, fn)
                 if now - os.path.getmtime(p) > older_than_s:
-                    os.unlink(p)
+                    if not dry_run:
+                        os.unlink(p)
                     removed["bloom_sidecars"] += 1
         return removed
 
@@ -986,10 +994,37 @@ class SnapshotTable(LakeTable):
         # narrower numerics are up-cast by the parquet vectorized reader
         return self.spark.read.schema(schema).parquet(*paths)
 
-    def read(self, version: int | str | None = None) -> DataFrame:
+    def version_as_of(self, ts: float) -> int:
+        """Newest committed snapshot whose commit instant is <= ``ts``
+        (epoch seconds) — Iceberg ``TIMESTAMP AS OF`` resolution. The
+        commit instant is the manifest file's mtime, stamped atomically by
+        the CAS link that won the version, so it needs no extra metadata
+        and cannot disagree with the commit order on one writer host
+        (cross-host clock skew skews AS-OF by the same amount it skews any
+        timestamp the hosts exchange). Raises if ``ts`` predates the first
+        snapshot."""
+        best = None
+        for v in self._committed_versions():  # ascending
+            if os.path.getmtime(self._manifest_path(v)) <= ts:
+                best = v
+        if best is None:
+            raise FileNotFoundError(
+                f"table {self.path} has no snapshot at or before ts={ts}"
+            )
+        return best
+
+    def read(
+        self, version: int | str | None = None, as_of_ts: float | None = None
+    ) -> DataFrame:
         """Live rows of a snapshot: stored rows minus tombstones.
         ``version`` may be an int (time travel), a tag name string
-        (named ref), or None for the current head."""
+        (named ref), or None for the current head; ``as_of_ts`` (epoch
+        seconds, mutually exclusive with ``version``) resolves the newest
+        snapshot committed at or before that instant (TIMESTAMP AS OF)."""
+        if as_of_ts is not None:
+            if version is not None:
+                raise ValueError("pass either version or as_of_ts, not both")
+            version = self.version_as_of(as_of_ts)
         return (
             self._read_stored(version)
             .where(F.coalesce(F.col(self.op_col), F.lit("U")) != "D")

@@ -526,3 +526,63 @@ def test_remove_orphans(spark, tmp_table_dir):
     res2 = tbl.remove_orphans(older_than_s=3600, force=True)
     assert res2["data_files"] == 0
     assert _state_set(tbl.read()) == before
+
+
+def test_read_as_of_timestamp(spark, tmp_table_dir):
+    import os as _os
+
+    from pyspark.sql import functions as F
+
+    t = SnapshotTable(
+        spark, tmp_table_dir, key_cols=("k",), order_cols=("s",), n_buckets=2
+    )
+    for b in range(3):
+        t.merge(
+            spark.createDataFrame([(1, f"v{b}", b, "U")], "k long, v string, s long, op string"),
+            batch_id=f"b{b}",
+        )
+        _os.utime(
+            _os.path.join(tmp_table_dir, "manifests", f"v{b:06d}.json"),
+            (1000.0 + 100 * b, 1000.0 + 100 * b),
+        )
+    assert t.version_as_of(1000.0) == 0       # exact instant is inclusive
+    assert t.version_as_of(1150.0) == 1
+    assert t.version_as_of(9e9) == 2
+    assert t.read(as_of_ts=1150.0).collect()[0]["v"] == "v1"
+    try:
+        t.version_as_of(999.0)
+        raise AssertionError("expected FileNotFoundError")
+    except FileNotFoundError:
+        pass
+    try:
+        t.read(version=1, as_of_ts=1150.0)
+        raise AssertionError("expected ValueError")
+    except ValueError:
+        pass
+
+
+def test_remove_orphans_dry_run_reports_without_deleting(spark, tmp_table_dir):
+    import os as _os
+
+    t = SnapshotTable(
+        spark, tmp_table_dir, key_cols=("k",), order_cols=("s",), n_buckets=2
+    )
+    t.merge(
+        spark.createDataFrame([(1, 1, "U")], "k long, s long, op string"),
+        batch_id="b0",
+    )
+    # plant an aged orphan data file and an aged attempt manifest
+    v0 = _os.path.join(tmp_table_dir, "data", "orphan", "_bucket=0")
+    _os.makedirs(v0)
+    orphan = _os.path.join(v0, "part-junk.parquet")
+    open(orphan, "wb").write(b"x")
+    att = _os.path.join(tmp_table_dir, "manifests", "attempt-junk.json")
+    open(att, "w").write("{}")
+    for p in (orphan, att):
+        _os.utime(p, (1.0, 1.0))
+    rep = t.remove_orphans(older_than_s=60.0, force=True, dry_run=True)
+    assert rep["data_files"] == 1 and rep["attempt_manifests"] == 1
+    assert _os.path.exists(orphan) and _os.path.exists(att)  # nothing deleted
+    rep2 = t.remove_orphans(older_than_s=60.0, force=True)
+    assert rep2["data_files"] == 1
+    assert not _os.path.exists(orphan) and not _os.path.exists(att)
