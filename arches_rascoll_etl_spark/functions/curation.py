@@ -173,6 +173,7 @@ def deterministic_shuffle(
     key_cols,
     seed: str = "",
     n_partitions: int | None = None,
+    persist: str = "none",
 ) -> DataFrame:
     """Globally-shuffled, REPRODUCIBLE training order without a global
     sort: adds ``shuffle_pos`` (0-based, a permutation of row positions)
@@ -196,7 +197,14 @@ def deterministic_shuffle(
 
     New keys inserted later change positions (it is a permutation, not an
     append log) — shuffle once per corpus freeze, downstream shards read
-    ``shuffle_pos`` ranges."""
+    ``shuffle_pos`` ranges.
+
+    The partition-count branch consumes the same range exchange as the
+    rank branch; Catalyst's exchange reuse usually serves both from one
+    shuffle, but ``persist`` (operators.materialize modes:
+    ``local_checkpoint`` / ``disk`` / ``memory_and_disk``) pins the ranged
+    table explicitly — set it at 100 TB rather than trusting plan-shape
+    reuse across an AQE re-plan."""
     keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
     h = F.md5(
         F.concat_ws(
@@ -210,6 +218,10 @@ def deterministic_shuffle(
         .repartitionByRange(n, F.col("_ds_h"), *[F.col(c) for c in keys])
         .withColumn("_ds_pid", F.spark_partition_id())
     )
+    if persist != "none":
+        from ..operators.materialize import materialize
+
+        ranged = materialize(ranged, persist)
     w = Window.partitionBy("_ds_pid").orderBy(
         F.col("_ds_h").asc(), *[F.col(c).asc() for c in keys]
     )

@@ -1472,6 +1472,35 @@ class SnapshotTable(LakeTable):
         ))
         return version
 
+    def _stats_bounds(
+        self, m: dict, cols: list
+    ) -> dict | None:
+        """Table-wide [min, max] per column folded from the manifest's
+        per-file stats — None unless EVERY data/delta file carries stats
+        for EVERY requested column (a partial fold could under-span and
+        saturate z-ranks at the edges). Numeric stats only: parquet footer
+        min/max for strings are truncation-prone and recluster's z-path is
+        numeric-only anyway."""
+        stats = m.get("file_stats") or {}
+        files = [f for fl in m["files"].values() for f in fl]
+        files += [f for fl in self._delta_map(m).values() for f in fl]
+        if not files:
+            return None
+        out: dict = {}
+        for c in cols:
+            lo = hi = None
+            for f in files:
+                rng = stats.get(f, {}).get(c)
+                if not rng or not all(
+                    isinstance(x, (int, float)) and not isinstance(x, bool)
+                    for x in rng
+                ):
+                    return None
+                lo = rng[0] if lo is None else min(lo, rng[0])
+                hi = rng[1] if hi is None else max(hi, rng[1])
+            out[c] = (float(lo), float(hi))
+        return out
+
     def recluster(
         self,
         cluster_cols: Iterable[str],
@@ -1518,12 +1547,16 @@ class SnapshotTable(LakeTable):
         stored = self._read_stored(cur)
         data = stored.withColumn(_BUCKET, self._bucket_col(stored))
         if strategy == "zorder":
-            # table-wide bounds: one tiny agg (2 values per clustered col)
-            row = stored.agg(
-                *[F.min(F.col(c).cast("double")).alias(f"mn_{c}") for c in cluster_cols],
-                *[F.max(F.col(c).cast("double")).alias(f"mx_{c}") for c in cluster_cols],
-            ).collect()[0]
-            bounds = {c: (row[f"mn_{c}"], row[f"mx_{c}"]) for c in cluster_cols}
+            # table-wide bounds: free from the manifest when file_stats
+            # cover every file for every clustered column (fold of per-file
+            # [min, max] — zero scans); else one tiny agg
+            bounds = self._stats_bounds(m, cluster_cols)
+            if bounds is None:
+                row = stored.agg(
+                    *[F.min(F.col(c).cast("double")).alias(f"mn_{c}") for c in cluster_cols],
+                    *[F.max(F.col(c).cast("double")).alias(f"mx_{c}") for c in cluster_cols],
+                ).collect()[0]
+                bounds = {c: (row[f"mn_{c}"], row[f"mx_{c}"]) for c in cluster_cols}
             data = data.withColumn(_ZV, zorder_key(cluster_cols, bounds, zbits))
             order_by: list = [_ZV]
         else:

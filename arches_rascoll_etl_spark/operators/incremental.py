@@ -326,8 +326,17 @@ def maintain_join(
         .join(kd_as_fk, on=fk_cols, how="left_anti")
         .select(*prev.columns)  # USING-joins reorder; keep the view schema
     )
-    aff = live_facts.join(kf, on=fkeys, how="left_semi").unionByName(
-        live_facts.join(kd_as_fk, on=fk_cols, how="left_semi")
-        .join(kf, on=fkeys, how="left_anti")
+    # affected facts in ONE pass over the live table: membership flags via
+    # two (broadcast) left joins against the distinct key sets, then one
+    # filter — not two semi-join scans unioned
+    aff = (
+        live_facts.join(
+            kf.withColumn("_in_kf", F.lit(True)), on=fkeys, how="left"
+        )
+        .join(
+            kd_as_fk.withColumn("_in_kd", F.lit(True)), on=fk_cols, how="left"
+        )
+        .where(F.col("_in_kf").isNotNull() | F.col("_in_kd").isNotNull())
+        .select(*live_facts.columns)
     )
     return kept.unionByName(join_snapshot(aff, live_dims, fk_cols, dkeys))

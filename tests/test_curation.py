@@ -120,3 +120,13 @@ def test_deterministic_shuffle_is_layout_independent_permutation(spark):
     c = deterministic_shuffle(df, "k", seed="other", n_partitions=3)
     pc = {r["k"]: r["shuffle_pos"] for r in c.collect()}
     assert pc != pa and sorted(pc.values()) == list(range(500))
+
+
+def test_deterministic_shuffle_persisted_path_same_result(spark):
+    from arches_rascoll_etl_spark.functions.curation import deterministic_shuffle
+
+    df = spark.range(300).select(F.col("id").alias("k"))
+    a = deterministic_shuffle(df, "k", seed="s", n_partitions=3)
+    b = deterministic_shuffle(df, "k", seed="s", n_partitions=3, persist="disk")
+    assert {(r["k"], r["shuffle_pos"]) for r in a.collect()} == \
+        {(r["k"], r["shuffle_pos"]) for r in b.collect()}

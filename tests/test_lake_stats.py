@@ -220,3 +220,41 @@ def test_recluster_merge_then_compact_roundtrip(spark, tmp_path):
     )
     rows = {r["k"]: r["a"] for r in t.read().collect()}
     assert rows[5] == 555 and len(rows) == 100
+
+
+def test_recluster_bounds_from_manifest_stats(spark, tmp_path):
+    """When every file carries stats for the cluster cols, recluster folds
+    bounds from the manifest (zero extra scans) and the layout is the same
+    as with agg-computed bounds."""
+    import json
+    import os
+
+    p1, p2 = str(tmp_path / "with"), str(tmp_path / "without")
+    outs = {}
+    for path, stats_cols in ((p1, ("a", "b")), (p2, ())):
+        t = SnapshotTable(
+            spark, path, key_cols=("k",), order_cols=("seq",),
+            n_buckets=2, stats_cols=stats_cols or ("a", "b"),
+        )
+        # p2: strip stats AFTER merge to force the agg fallback
+        rows = spark.range(2000).select(
+            F.col("id").alias("k"),
+            F.pmod(F.hash("id"), F.lit(100)).alias("a"),
+            F.pmod(F.hash("id", F.lit(3)), F.lit(100)).alias("b"),
+            F.lit(1).alias("seq"), F.lit("U").alias("op"),
+        )
+        t.merge(rows, batch_id="b0")
+        if path == p2:
+            mp = os.path.join(path, "manifests", "v000000.json")
+            m = json.load(open(mp))
+            m.pop("file_stats", None)
+            json.dump(m, open(mp, "w"))
+            t._stats_cache = (None, None)
+        v = t.recluster(["a", "b"], max_records_per_file=200)
+        m = json.load(open(os.path.join(path, "manifests", f"v{v:06d}.json")))
+        outs[path] = sorted(
+            (f, tuple(m["file_stats"][f]["a"]), tuple(m["file_stats"][f]["b"]))
+            for fl in m["files"].values() for f in fl
+        )
+    # identical slab layout either way (same bounds -> same z-ranks)
+    assert [x[1:] for x in outs[p1]] == [x[1:] for x in outs[p2]]
