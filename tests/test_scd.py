@@ -105,3 +105,27 @@ def test_maintain_scd2_delete_leading_batch_closes_open_row(spark, tmp_path):
     rows = {r["valid_from_seq"]: (r["valid_to_seq"], r["is_current"])
             for r in hist.read().collect()}
     assert rows == {1: (5, False), 9: (None, True)}
+
+
+def test_maintain_scd2_is_idempotent_per_batch_id(spark, tmp_path):
+    """Re-running a maintenance call after a crash (same batch_id) is a
+    no-op: the lake's exactly-once batch-id guard skips the merge even
+    though the recomputed batch rows would now differ (they are derived
+    from the already-updated live state)."""
+    from arches_rascoll_etl_spark.lake.parquet_snapshot import SnapshotTable
+    from arches_rascoll_etl_spark.operators.scd import maintain_scd2
+
+    hist = SnapshotTable(
+        spark, str(tmp_path / "hist"),
+        key_cols=("k", "valid_from_seq"), order_cols=("_scd_seq",), n_buckets=2,
+    )
+    schema = "k string, v string, commit_seq long, op string"
+    b0 = spark.createDataFrame([("a", "v1", 1, "U")], schema)
+    b1 = spark.createDataFrame([("a", "v2", 5, "U")], schema)
+    maintain_scd2(hist, b0, ("k",), "commit_seq", 0, "b0")
+    maintain_scd2(hist, b1, ("k",), "commit_seq", 1, "b1")
+    before = {tuple(r) for r in hist.read().collect()}
+    v_before = hist.current_version()
+    maintain_scd2(hist, b1, ("k",), "commit_seq", 1, "b1")  # crash-rerun
+    assert {tuple(r) for r in hist.read().collect()} == before
+    assert hist.current_version() == v_before
