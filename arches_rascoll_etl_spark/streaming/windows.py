@@ -77,3 +77,40 @@ def streaming_dedup(
     return stream_df.withWatermark(ts_col, watermark_delay).dropDuplicatesWithinWatermark(
         list(key_cols)
     )
+
+
+def streaming_session_agg(
+    stream_df: DataFrame,
+    ts_col: str,
+    gap_duration: str,
+    watermark_delay: str,
+    group_cols: Sequence[str] = (),
+    *aggs: Column,
+) -> DataFrame:
+    """Watermarked SESSION-window aggregation over a stream (the streaming
+    twin of ``operators.temporal.sessionize``): per key, events closer
+    than ``gap_duration`` fuse into one session; a session closes — and in
+    append mode emits exactly once — when the watermark passes its end.
+
+    Built on Spark's native ``session_window`` (dynamic merging windows
+    maintained in the state store), NOT a custom applyInPandasWithState
+    loop: state per open session, merged server-side on arrival, evicted
+    at watermark — bounded by (open sessions × keys), which is what keeps
+    per-key session state viable at 10^10 events/day. Output carries
+    ``s_start_us`` / ``s_end_us`` (epoch micros; end = last event + gap,
+    Spark's session identity) plus group columns and aggregates
+    (default ``count(*) AS n``)."""
+    if not aggs:
+        aggs = (F.count(F.lit(1)).alias("n"),)
+    win = F.session_window(F.col(ts_col), gap_duration)
+    out = (
+        stream_df.withWatermark(ts_col, watermark_delay)
+        .groupBy(win.alias("_w"), *[F.col(c) for c in group_cols])
+        .agg(*aggs)
+    )
+    return out.select(
+        F.unix_micros(F.col("_w.start")).alias("s_start_us"),
+        F.unix_micros(F.col("_w.end")).alias("s_end_us"),
+        *group_cols,
+        *[c for c in out.columns if c != "_w" and c not in group_cols],
+    )

@@ -319,3 +319,74 @@ def test_streaming_dedup_within_watermark(spark, tmp_path):
         for r in spark.sql("SELECT * FROM dedup_sink").collect()
     ]
     assert sorted(got) == [("r1", "c1"), ("r1", "c2"), ("r1", "c3")]
+
+
+def test_streaming_session_windows_close_at_watermark(spark, tmp_path):
+    """Session windows fuse events within the gap per key and emit exactly
+    once (append mode) when the watermark passes the session end."""
+    import datetime
+    import os
+
+    import pyarrow.parquet as pq
+    from pyspark.sql import types as T
+
+    from arches_rascoll_etl_spark.streaming.windows import streaming_session_agg
+
+    schema = T.StructType(
+        [T.StructField("ts", T.TimestampType()), T.StructField("user", T.StringType())]
+    )
+    base = 1_700_000_400
+
+    def ts(mins):
+        return datetime.datetime.fromtimestamp(
+            base + mins * 60, datetime.timezone.utc
+        ).replace(tzinfo=None)
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    # batch 1 (4 rows): one 3-event session (gap 5m fuses 0,2,4) and the
+    # seed of a second session at minute 20
+    spark.createDataFrame(
+        [(ts(0), "u"), (ts(2), "u"), (ts(4), "u"), (ts(20), "u")], schema
+    ).coalesce(1).write.mode("append").parquet(src)
+    # batch 2 (2 rows): watermark advancer (own session, stays open)
+    spark.createDataFrame(
+        [(ts(200), "w")] * 2, schema
+    ).coalesce(1).write.mode("append").parquet(src)
+    # batch 3 (1 row): previous-batch-watermark filler (Spark >= 3.4)
+    spark.createDataFrame([(ts(201), "w")], schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    files = sorted(
+        (os.path.join(src, f) for f in os.listdir(src) if f.endswith(".parquet")),
+        key=lambda f: pq.ParquetFile(f).metadata.num_rows,
+        reverse=True,
+    )
+    assert len(files) == 3
+    for i, f in enumerate(files):
+        os.utime(f, (1_000_000 + i * 1000, 1_000_000 + i * 1000))
+
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    agg = streaming_session_agg(stream, "ts", "5 minutes", "10 minutes", ["user"])
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("sess_sink")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = {
+        (r["user"], r["s_start_us"]): (r["s_end_us"], r["n"])
+        for r in spark.sql("SELECT * FROM sess_sink").collect()
+    }
+    us = 1_000_000
+    s0 = base * us
+    # session 1: [0, minute 4 + 5m gap), 3 events fused
+    assert rows[("u", s0)] == (s0 + 9 * 60 * us, 3)
+    # session 2: [minute 20, minute 25), 1 event
+    assert rows[("u", s0 + 20 * 60 * us)] == (s0 + 25 * 60 * us, 1)
+    # the advancer's own session is still open -> not emitted
+    assert not any(u == "w" for (u, _s) in rows)
