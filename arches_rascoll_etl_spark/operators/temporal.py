@@ -231,3 +231,28 @@ def point_in_time_join(
         *facts.columns,
         *[F.col(_PIT_PAY)[c].alias(f"r_{c}") for c in right_cols],
     )
+
+
+def sliding_window_agg(
+    df: DataFrame,
+    ts_col: str,
+    width: str,
+    slide: str,
+    group_cols: Sequence[str],
+    *aggs,
+) -> DataFrame:
+    """Epoch-aligned SLIDING (hopping) window aggregation — each event
+    contributes to ``width / slide`` overlapping windows (the moving-rate
+    view tumbling windows can't express). Built on the native
+    ``F.window(ts, width, slide)`` one-to-many expansion: Catalyst plans
+    the window explode + ONE hash aggregation with map-side combine —
+    the input is replicated ``width/slide``× before the partial agg, so
+    keep the ratio small at scale (a 1h window sliding by 1s is 3600×
+    replication; compose tumbling sub-windows + a second rollup instead).
+    Emits ``w_start_us`` (long) for engine-exact comparison."""
+    return (
+        df.groupBy(F.window(ts_col, width, slide).alias("_w"), *group_cols)
+        .agg(*aggs)
+        .withColumn("w_start_us", _us(F.col("_w.start")))
+        .drop("_w")
+    )

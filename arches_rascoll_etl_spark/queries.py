@@ -3285,3 +3285,33 @@ def q86(spark, sf):
         "user_id", "event_type", "content",
         "valid_from_seq", "valid_to_seq", "is_current",
     )
+
+
+_ORACLE_Q87 = """
+WITH e AS (
+  SELECT event_type, epoch_us(ts) AS t_us FROM events
+),
+x AS (
+  SELECT event_type,
+         UNNEST([ t_us - t_us % 300000000,
+                  t_us - t_us % 300000000 - 300000000 ]) AS w_start_us
+  FROM e
+)
+SELECT w_start_us, event_type, COUNT(*) AS n
+FROM x GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+@query("q87_sliding_window", _ORACLE_Q87)
+def q87(spark, sf):
+    """Epoch-aligned sliding windows (operators/temporal.py
+    sliding_window_agg): 10-minute windows hopping every 5 — each event
+    lands in exactly width/slide = 2 overlapping windows (the moving-rate
+    view tumbling can't express). The oracle expands each event to its two
+    covering window starts by epoch arithmetic; counts must match
+    window-for-window."""
+    ev = _t(spark, sf, "events")
+    return temporal.sliding_window_agg(
+        ev, "ts", "10 minutes", "5 minutes", ["event_type"],
+        F.count("*").alias("n"),
+    ).select("w_start_us", "event_type", "n").orderBy("w_start_us", "event_type")

@@ -150,3 +150,18 @@ def test_dedup_corpus_representatives(spark):
     tied = docs.withColumn("q", F.lit(1.0))
     keep_t = dedup.dedup_corpus(tied, "doc_id", labels, score_col="q")
     assert sorted(r["doc_id"] for r in keep_t.collect()) == [3, 4, 5, 7, 8]
+
+
+def test_sliding_window_membership(spark):
+    # width 10m, slide 5m: an event at minute 7 belongs to windows
+    # starting at minutes 0 and 5; one at minute 12 to minutes 5 and 10
+    df = spark.createDataFrame(
+        [(1, _ts(7)), (2, _ts(12))], "event_id long, ts timestamp"
+    )
+    out = temporal.sliding_window_agg(
+        df, "ts", "10 minutes", "5 minutes", [], F.count("*").alias("n")
+    )
+    base = int(_ts(0).replace(tzinfo=__import__("datetime").timezone.utc).timestamp()) * 1_000_000
+    got = {r["w_start_us"]: r["n"] for r in out.collect()}
+    m = 60 * 1_000_000
+    assert got == {base: 1, base + 5 * m: 2, base + 10 * m: 1}
