@@ -4,7 +4,7 @@
 SnapshotTable (merge → CAS commit → point lookup via manifest-pruned
 read_keys), the engine's actual core; ``queries`` / ``oracle_sql`` expose
 every implemented operator from SURVEY.md §2 (see the §8 coverage map) plus
-the training-data-pipeline operators: 82 queries, ALL 82 with DuckDB-exact
+the training-data-pipeline operators: 87 queries, ALL 87 with DuckDB-exact
 oracles (several generated programmatically from the
 same constants the operators use — minhash affine permutations, simhash bit
 votes, LSH plane literals, media byte math, list_reduce Horner fold). q44
