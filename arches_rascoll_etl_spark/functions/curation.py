@@ -173,7 +173,7 @@ def deterministic_shuffle(
     key_cols,
     seed: str = "",
     n_partitions: int | None = None,
-    persist: str = "none",
+    persist: str = "local_checkpoint",
 ) -> DataFrame:
     """Globally-shuffled, REPRODUCIBLE training order without a global
     sort: adds ``shuffle_pos`` (0-based, a permutation of row positions)
@@ -200,11 +200,17 @@ def deterministic_shuffle(
     ``shuffle_pos`` ranges.
 
     The partition-count branch consumes the same range exchange as the
-    rank branch; Catalyst's exchange reuse usually serves both from one
-    shuffle, but ``persist`` (operators.materialize modes:
-    ``local_checkpoint`` / ``disk`` / ``memory_and_disk``) pins the ranged
-    table explicitly — set it at 100 TB rather than trusting plan-shape
-    reuse across an AQE re-plan."""
+    rank branch — and correctness, not just cost, depends on both branches
+    seeing the SAME range partitioning: ``repartitionByRange`` samples its
+    boundaries, so a stage retry or AQE re-plan that re-executes the
+    partitioner could hand the two branches different layouts, making the
+    broadcast offsets inconsistent with the local ranks (duplicate/skipped
+    positions). ``persist`` therefore defaults to ``local_checkpoint``
+    (operators.materialize modes: ``local_checkpoint`` / ``disk`` /
+    ``memory_and_disk`` / ``none``), pinning the ranged table before either
+    branch reads it; prefer ``disk`` on long 100-TB runs where executor
+    loss is expected (lineage kept), and pass ``none`` only when you have
+    verified exchange reuse serves both branches in your deployment."""
     keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
     h = F.md5(
         F.concat_ws(

@@ -85,12 +85,14 @@ def skew_report(
     hot key partially collapses on every input partition before the
     shuffle, so the report itself never suffers the skew it measures),
     then a per-partition top-n + driver merge (``TakeOrderedAndProject``,
-    never a global sort) against a 1-row total broadcast. Output order is
+    never a global sort) against a 1-row total broadcast. The denominator
+    is summed from the per-key counts frame — the INPUT is read exactly
+    once; only the tiny counts relation is read twice. Output order is
     (n_rows DESC, keys ASC) — a total order, so the cut is deterministic
     on every engine."""
     keys = list(key_cols)
     counts = df.groupBy(*keys).agg(F.count(F.lit(1)).alias("n_rows"))
-    total = df.agg(F.count(F.lit(1)).alias("_total"))
+    total = counts.agg(F.sum("n_rows").alias("_total"))
     top = counts.orderBy(
         F.col("n_rows").desc(), *[F.col(k).asc() for k in keys]
     ).limit(top_n)

@@ -528,6 +528,10 @@ class SnapshotTable(LakeTable):
         :class:`CommitConflictError`; a crash before the link leaves only
         an ``attempt-*`` orphan that no reader ever resolves."""
         version = manifest["version"]
+        # commit instant persisted IN the manifest (Iceberg stores it in
+        # table metadata too): mtime-only resolution breaks under rsync/
+        # backup-restore/DR promotion, which rewrite mtimes wholesale
+        manifest.setdefault("committed_at", time.time())
         attempt = os.path.join(
             self.path, "manifests", f"attempt-{uuid.uuid4().hex[:12]}.json"
         )
@@ -695,14 +699,25 @@ class SnapshotTable(LakeTable):
         with open(sp) as f:
             m = json.load(f)
         self._validate_manifest(m)
+        # the commit instant is PUBLISH time, not staging time — rewrite
+        # into a fresh attempt file and link that (same CAS discipline:
+        # the canonical link still fails atomically if the name is taken)
+        m["committed_at"] = time.time()
+        attempt = os.path.join(
+            self.path, "manifests", f"attempt-{uuid.uuid4().hex[:12]}.json"
+        )
+        with open(attempt, "w") as f:
+            json.dump(m, f)
         try:
-            os.link(sp, self._manifest_path(m["version"]))
+            os.link(attempt, self._manifest_path(m["version"]))
         except FileExistsError:
+            os.unlink(attempt)
             raise CommitConflictError(
                 f"cannot publish staged snapshot {wap_id!r}: the table "
                 f"advanced past its parent (version {m['parent_version']}); "
                 "discard_staged() and re-stage against the new head"
             ) from None
+        os.unlink(attempt)
         os.unlink(sp)
         version = m["version"]
         self._stats_cache = (version, m.get("file_stats") or {})
@@ -997,15 +1012,32 @@ class SnapshotTable(LakeTable):
     def version_as_of(self, ts: float) -> int:
         """Newest committed snapshot whose commit instant is <= ``ts``
         (epoch seconds) — Iceberg ``TIMESTAMP AS OF`` resolution. The
-        commit instant is the manifest file's mtime, stamped atomically by
-        the CAS link that won the version, so it needs no extra metadata
-        and cannot disagree with the commit order on one writer host
-        (cross-host clock skew skews AS-OF by the same amount it skews any
-        timestamp the hosts exchange). Raises if ``ts`` predates the first
-        snapshot."""
+        commit instant is the ``committed_at`` epoch stamped INSIDE the
+        manifest at commit/publish time (Iceberg persists it in table
+        metadata the same way), so an out-of-band copy, rsync, backup
+        restore or DR promotion of the table directory — which rewrites
+        every file's mtime — cannot silently re-time the history, and
+        cross-host writers can't leave the resolution non-monotone with
+        version just because their link mtimes interleaved. Manifests
+        written before this field existed fall back to file mtime. To keep
+        AS-OF monotone with the version order even under writer clock
+        skew, the scan carries the running max commit instant forward
+        (Iceberg's ancestor walk has the same effect). Raises if ``ts``
+        predates the first snapshot."""
         best = None
+        prev = float("-inf")
         for v in self._committed_versions():  # ascending
-            if os.path.getmtime(self._manifest_path(v)) <= ts:
+            m_path = self._manifest_path(v)
+            try:
+                with open(m_path) as f:
+                    committed = json.load(f).get("committed_at")
+            except (OSError, ValueError):
+                committed = None
+            if committed is None:  # pre-committed_at manifest
+                committed = os.path.getmtime(m_path)
+            committed = max(committed, prev)  # monotone with version order
+            prev = committed
+            if committed <= ts:
                 best = v
         if best is None:
             raise FileNotFoundError(

@@ -71,9 +71,15 @@ def _spread(df: DataFrame, *keys: str) -> DataFrame:
     sf0.1, one Exchange of 5k narrow rows instead of two). Keys only make
     sense under this small-input gate — at scale the spread is a no-op and
     the map-side partial aggregation (which shuffles per-doc partial rows,
-    far smaller than raw text) is the right plan."""
+    far smaller than raw text) is the right plan.
+
+    The narrow-input check reads driver-side file metadata
+    (operators.parallelism), NOT ``df.rdd.getNumPartitions()`` — the
+    ``.rdd`` probe forces a full plan→RDD conversion per call."""
+    from arches_rascoll_etl_spark.operators.parallelism import is_narrow_input
+
     n = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() >= n:
+    if not is_narrow_input(df, n):
         return df
     return df.repartition(n, *[F.col(k) for k in keys]) if keys else df.repartition(n)
 

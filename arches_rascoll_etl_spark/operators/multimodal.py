@@ -61,20 +61,43 @@ FRAME_SAMPLE_SCHEMA = T.StructType(
 
 def _decode_image_stub(payload: bytes) -> np.ndarray:
     """STUB decode: deterministic fake 'pixels' derived from the payload.
-    Real impl: PIL.Image.open(io.BytesIO(payload)) → np.asarray.
-    Raise NotImplementedError here if you need a hard failure instead."""
+    Swap for :func:`pil_image_decoder` (or any ``bytes → 2-D ndarray``
+    callable) via the ``decoder=`` parameter of :func:`image_features`."""
     arr = np.frombuffer(payload[:64].ljust(64, b"\0"), dtype=np.uint8)
     return arr.reshape(8, 8).astype(np.float32)
 
 
-def image_features(df: DataFrame, batch_size_hint: int = 256) -> DataFrame:
-    """Decode → pooled feature vector per image, streaming Arrow batches."""
+def pil_image_decoder(payload: bytes) -> np.ndarray:
+    """REAL image decode: PIL → grayscale 2-D float32 pixel array.
+
+    Imports PIL lazily inside the call so the module stays importable in
+    environments without it (this sandbox); pass as
+    ``image_features(df, decoder=pil_image_decoder)`` on a cluster with
+    Pillow installed. Tested behind ``pytest.importorskip('PIL')``."""
+    import io
+
+    from PIL import Image
+
+    return np.asarray(
+        Image.open(io.BytesIO(payload)).convert("L"), dtype=np.float32
+    )
+
+
+def image_features(
+    df: DataFrame, batch_size_hint: int = 256, decoder=_decode_image_stub
+) -> DataFrame:
+    """Decode → pooled feature vector per image, streaming Arrow batches.
+
+    ``decoder`` is any ``bytes → 2-D ndarray`` callable, defaulting to the
+    deterministic stub (oracle-checkable end-to-end); inject
+    :func:`pil_image_decoder` for real JPEG/PNG decode. The callable is
+    cloudpickled to executors, so any top-level function works."""
 
     def _run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             feats = []
             for payload in pdf["payload"]:
-                img = _decode_image_stub(bytes(payload))
+                img = decoder(bytes(payload))
                 # 'feature extraction': per-row sum pooling (stub for a CNN
                 # head). Integer-exact on purpose: the whole image pipeline
                 # stays oracle-checkable end-to-end (DuckDB reproduces the
@@ -103,11 +126,39 @@ AUDIO_FEATURES_SCHEMA = T.StructType(
 )
 
 
-def audio_features(df: DataFrame) -> DataFrame:
+def _decode_audio_stub(payload: bytes) -> np.ndarray:
+    """STUB decode: payload bytes reinterpreted as int16 LE PCM samples.
+    Swap for :func:`wav_audio_decoder` (or any ``bytes → 1-D int64
+    ndarray`` callable) via ``audio_features(df, decoder=...)``."""
+    raw = payload[: len(payload) - len(payload) % 2]
+    return np.frombuffer(raw, dtype="<i2").astype(np.int64)
+
+
+def wav_audio_decoder(payload: bytes) -> np.ndarray:
+    """REAL audio decode: RIFF/WAV container → int64 PCM samples, using
+    only the stdlib ``wave`` module (no external deps — this path runs in
+    the sandbox test suite, unlike the PIL image path). 16-bit PCM only;
+    multi-channel frames are interleaved samples, returned as-is."""
+    import io
+    import wave
+
+    with wave.open(io.BytesIO(payload), "rb") as w:
+        if w.getsampwidth() != 2:
+            raise ValueError(
+                f"wav_audio_decoder handles 16-bit PCM only, "
+                f"got sampwidth={w.getsampwidth()}"
+            )
+        raw = w.readframes(w.getnframes())
+    return np.frombuffer(raw, dtype="<i2").astype(np.int64)
+
+
+def audio_features(df: DataFrame, decoder=_decode_audio_stub) -> DataFrame:
     """Decode → sample count, total energy, RMS and coarse band magnitudes
-    per clip, streaming Arrow batches. STUB decode: payload bytes as int16
-    LE PCM stand-in (real impl: soundfile/librosa load); the numpy feature
-    math and the mapInPandas plumbing are the real, tested part.
+    per clip, streaming Arrow batches. ``decoder`` is any ``bytes → 1-D
+    int64 ndarray`` callable — the deterministic stub by default (payload
+    bytes as int16 LE PCM, keeping the whole pipeline oracle-checkable),
+    or :func:`wav_audio_decoder` for real WAV containers; the numpy
+    feature math and the mapInPandas plumbing are identical either way.
 
     Feature math is integer-first on purpose: ``energy`` (sum of squared
     samples) and ``band_abs`` (abs-sum per 4-way strided slice — stub for
@@ -119,8 +170,7 @@ def audio_features(df: DataFrame) -> DataFrame:
         for pdf in batches:
             ids, ns, energies, rms, bands = [], [], [], [], []
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
-                raw = bytes(payload)
-                pcm = np.frombuffer(raw[: len(raw) - len(raw) % 2], dtype="<i2").astype(np.int64)
+                pcm = decoder(bytes(payload))
                 if len(pcm) == 0:
                     pcm = np.zeros(1, dtype=np.int64)
                 energy = int((pcm * pcm).sum())

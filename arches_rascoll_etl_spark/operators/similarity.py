@@ -36,10 +36,14 @@ def _c(col: Column | str) -> Column:
 def _spread(df: DataFrame) -> DataFrame:
     """Rebalance a narrow corpus across the session's default parallelism
     before compute-dense per-row work (O(dim) dot products per row pair).
-    Only repartitions when the scan produced fewer partitions than cores —
-    a no-op at scale (see operators.dedup._spread)."""
+    Only repartitions when the scan would produce fewer partitions than
+    cores — a no-op at scale (see operators.dedup._spread). The width
+    check reads file metadata (operators.parallelism), not ``.rdd``,
+    which would force a plan→RDD conversion per call."""
+    from arches_rascoll_etl_spark.operators.parallelism import is_narrow_input
+
     n = df.sparkSession.sparkContext.defaultParallelism
-    return df.repartition(n) if df.rdd.getNumPartitions() < n else df
+    return df.repartition(n) if is_narrow_input(df, n) else df
 
 
 def dot(a: Column, b: Column) -> Column:

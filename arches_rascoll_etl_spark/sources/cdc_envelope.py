@@ -181,13 +181,19 @@ def parse_maxwell(
     (including deletes — Maxwell ships the full deleted row, where
     Debezium uses ``before``); ``bootstrap-insert`` (Maxwell's initial
     snapshot) maps to I like Debezium's ``r``; the total order is
-    ``(ts, xid)`` — Maxwell has no LSN field, so ``commit_seq`` is
-    synthesized as ``ts * 2^20 + xid`` (binlog ts is seconds-granular;
-    xid orders within the second and is < 2^20 between MySQL checkpoints
-    in practice — callers with a server-id fan-in should order on the
-    pair explicitly instead). Unparseable messages yield all-NULL typed
-    columns for the downstream quarantine, evidence preserved in
-    ``raw_value``."""
+    ``(ts, xid)``. Maxwell has no LSN field, so the output carries the
+    pair as TWO ordering columns — ``commit_ts`` then ``commit_xid`` —
+    and downstream LWW merges should use ``order_cols=("commit_ts",
+    "commit_xid")``. A packed single ``commit_seq = ts * 2^20 + xid`` is
+    ALSO emitted for callers wanting one column, with a documented
+    hazard: MySQL's Xid is a server-lifetime monotone counter (routinely
+    in the billions, far past 2^20) that RESETS on server restart, so
+    the packed value inverts across a restart until ts advances past the
+    old counter (~old_xid/2^20 seconds — hours on a busy server) and can
+    keep pre-restart rows over newer post-restart updates; the two-column
+    order only inverts within the restart second itself. Prefer the
+    pair. Unparseable messages yield all-NULL typed columns for the
+    downstream quarantine, evidence preserved in ``raw_value``."""
     parsed = F.from_json(F.col(value_col), maxwell_schema(record_schema))
     op = F.lit(None).cast("string")
     for src, dst in reversed(list(_MAXWELL_OP_MAP.items())):
@@ -196,6 +202,8 @@ def parse_maxwell(
     cols = [image[f.name].alias(f.name) for f in record_schema.fields]
     cols += [
         op.alias("op"),
+        parsed["ts"].alias("commit_ts"),
+        F.coalesce(parsed["xid"], F.lit(0)).alias("commit_xid"),
         (parsed["ts"] * F.lit(1 << 20) + F.coalesce(parsed["xid"], F.lit(0)))
         .alias("commit_seq"),
         (parsed["ts"] * F.lit(1000)).alias("ts_ms"),

@@ -109,8 +109,38 @@ def test_parse_maxwell_semantics(spark):
     # (ts, xid) total order is preserved by the synthesized commit_seq
     seqs = [r["commit_seq"] for r in out[:4]]
     assert seqs == sorted(seqs[:3]) + [50 * (1 << 20) + 0]
+    # the restart-safe two-column order (commit_ts, commit_xid) is emitted
+    # alongside the packed seq — this is the recommended order_cols pair
+    pairs = [(r["commit_ts"], r["commit_xid"]) for r in out[:4]]
+    assert pairs == [(100, 7), (101, 8), (102, 9), (50, 0)]
     assert out[5]["raw_value"] == "not json at all"
     assert out[5]["k"] is None and out[5]["commit_seq"] is None
+    assert out[5]["commit_ts"] is None
+
+
+def test_parse_maxwell_restart_inversion_pair_order(spark):
+    """MySQL restart: xid resets from a huge server-lifetime value to ~0.
+    The packed commit_seq inverts (documented hazard); ordering on the
+    (commit_ts, commit_xid) PAIR keeps the post-restart row winning."""
+    from arches_rascoll_etl_spark.sources.cdc_envelope import parse_maxwell
+
+    record = T.StructType([T.StructField("k", T.LongType())])
+    old_xid = 5_000_000_000  # server-lifetime counter, >> 2^20
+    msgs = [
+        '{"type":"update","ts":1000,"xid":%d,"data":{"k":1}}' % old_xid,
+        # restart: 2s later, xid reset to 3 — this row is NEWER
+        '{"type":"update","ts":1002,"xid":3,"data":{"k":1}}',
+    ]
+    df = spark.createDataFrame([(m,) for m in msgs], "value string")
+    out = parse_maxwell(df, record, keep_raw=False).collect()
+    pre, post = out[0], out[1]
+    # packed seq is inverted across the restart (ts advanced only 2s,
+    # far less than old_xid / 2^20 ≈ 4768s)
+    assert pre["commit_seq"] > post["commit_seq"]
+    # the pair order is NOT inverted
+    assert (pre["commit_ts"], pre["commit_xid"]) < (
+        post["commit_ts"], post["commit_xid"]
+    )
 
 
 def test_detect_schema_drift_nested_path_and_clean_stream(spark):

@@ -528,10 +528,25 @@ def test_remove_orphans(spark, tmp_table_dir):
     assert _state_set(tbl.read()) == before
 
 
-def test_read_as_of_timestamp(spark, tmp_table_dir):
+def _set_committed_at(table_dir, version, epoch):
+    """Rewrite a manifest's committed_at in place (test fixture only)."""
+    import json as _json
     import os as _os
 
-    from pyspark.sql import functions as F
+    p = _os.path.join(table_dir, "manifests", f"v{version:06d}.json")
+    with open(p) as f:
+        m = _json.load(f)
+    if epoch is None:
+        m.pop("committed_at", None)  # simulate a pre-committed_at manifest
+    else:
+        m["committed_at"] = epoch
+    with open(p, "w") as f:
+        _json.dump(m, f)
+    return p
+
+
+def test_read_as_of_timestamp(spark, tmp_table_dir):
+    import os as _os
 
     t = SnapshotTable(
         spark, tmp_table_dir, key_cols=("k",), order_cols=("s",), n_buckets=2
@@ -541,10 +556,10 @@ def test_read_as_of_timestamp(spark, tmp_table_dir):
             spark.createDataFrame([(1, f"v{b}", b, "U")], "k long, v string, s long, op string"),
             batch_id=f"b{b}",
         )
-        _os.utime(
-            _os.path.join(tmp_table_dir, "manifests", f"v{b:06d}.json"),
-            (1000.0 + 100 * b, 1000.0 + 100 * b),
-        )
+        # pin the persisted commit instant, then smash the file mtime to a
+        # bogus value — resolution must follow committed_at, not mtime
+        p = _set_committed_at(tmp_table_dir, b, 1000.0 + 100 * b)
+        _os.utime(p, (5.0, 5.0))
     assert t.version_as_of(1000.0) == 0       # exact instant is inclusive
     assert t.version_as_of(1150.0) == 1
     assert t.version_as_of(9e9) == 2
@@ -559,6 +574,62 @@ def test_read_as_of_timestamp(spark, tmp_table_dir):
         raise AssertionError("expected ValueError")
     except ValueError:
         pass
+
+
+def test_as_of_survives_mtime_rewrite_and_falls_back_for_legacy(
+    spark, tmp_table_dir
+):
+    """The DR/rsync scenario that motivated persisting committed_at: after
+    an out-of-band copy rewrites every mtime to 'now', AS-OF resolution is
+    unchanged because the instants live inside the manifests. Manifests
+    written before the field existed (committed_at stripped) fall back to
+    mtime, clamped monotone with the version order."""
+    import os as _os
+    import time as _time
+
+    t = SnapshotTable(
+        spark, tmp_table_dir, key_cols=("k",), order_cols=("s",), n_buckets=2
+    )
+    for b in range(3):
+        t.merge(
+            spark.createDataFrame([(1, f"v{b}", b, "U")], "k long, v string, s long, op string"),
+            batch_id=f"b{b}",
+        )
+    # commits carry real (current-epoch) committed_at stamps, ascending
+    insts = []
+    import json as _json
+
+    for b in range(3):
+        with open(
+            _os.path.join(tmp_table_dir, "manifests", f"v{b:06d}.json")
+        ) as f:
+            insts.append(_json.load(f)["committed_at"])
+    assert insts == sorted(insts)
+    assert all(abs(i - _time.time()) < 3600 for i in insts)
+    before = t.version_as_of(insts[1])
+    # simulate restore: every mtime becomes 'now'
+    now = _time.time()
+    for b in range(3):
+        _os.utime(
+            _os.path.join(tmp_table_dir, "manifests", f"v{b:06d}.json"),
+            (now, now),
+        )
+    assert t.version_as_of(insts[1]) == before == 1
+    # legacy manifests (no committed_at): resolution falls back to mtime
+    for b in range(3):
+        p = _set_committed_at(tmp_table_dir, b, None)
+        _os.utime(p, (1000.0 + 100 * b,) * 2)
+    assert t.version_as_of(1150.0) == 1
+    # non-monotone mtimes (cross-host writer interleave) are clamped: a
+    # later version never resolves EARLIER than its parent — v2's bogus
+    # 900 instant is lifted to v1's 1100, so it never outranks v1 below
+    # 1100 but resolves normally at/after it
+    _os.utime(
+        _os.path.join(tmp_table_dir, "manifests", "v000002.json"),
+        (900.0, 900.0),
+    )
+    assert t.version_as_of(1050.0) == 0   # v2's raw 900 must NOT win here
+    assert t.version_as_of(1100.0) == 2   # v2 clamped to v1's instant
 
 
 def test_remove_orphans_dry_run_reports_without_deleting(spark, tmp_table_dir):

@@ -112,7 +112,11 @@ def test_deterministic_shuffle_no_single_partition_sort(spark):
     from arches_rascoll_etl_spark.functions.curation import deterministic_shuffle
 
     df = spark.range(1000).select(F.col("id").alias("k"))
-    plan = _plan(deterministic_shuffle(df, "k", seed="s", n_partitions=4))
+    # persist="none" so the raw (un-pinned) pipeline's plan is inspectable;
+    # the default local_checkpoint truncates lineage at the range exchange
+    plan = _plan(
+        deterministic_shuffle(df, "k", seed="s", n_partitions=4, persist="none")
+    )
     assert "rangepartitioning" in plan.lower(), plan
     # the data-path row_number window is keyed by the partition id
     assert "row_number() windowspecdefinition(_ds_pid" in plan, plan
