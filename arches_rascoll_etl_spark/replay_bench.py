@@ -234,6 +234,7 @@ def main() -> None:
     }
     if want_stage_metrics:
         out["stage_metrics"] = _stage_metrics(spark)
+        out["task_skew"] = task_skew_metrics(spark)
     with open(args.out, "w") as f:
         json.dump(out, f)
     spark.stop()
@@ -278,6 +279,56 @@ def _stage_metrics(spark) -> list[dict]:
         rows.append(row)
     rows.sort(key=lambda r: -(r.get("executorRunTime") or 0))
     return rows
+
+
+def task_skew_metrics(spark, top_n: int = 3) -> list[dict]:
+    """Per-task duration skew for the ``top_n`` heaviest completed stages
+    (by executorRunTime), via the status REST API's taskSummary quantiles.
+
+    ``max_over_median`` is THE straggler metric: a hot key that defeats
+    the map-side combine / salting / AQE skew handling shows up as one
+    task holding the stage hostage (ratio >> 1 on the reduce stage). The
+    driver UI must be on (``SPARK_GRAFT_STAGE_METRICS=1`` /
+    ``spark.ui.enabled=true``)."""
+    import urllib.request
+
+    ui = spark.sparkContext.uiWebUrl
+    app_id = spark.sparkContext.applicationId
+    try:
+        with urllib.request.urlopen(
+            f"{ui}/api/v1/applications/{app_id}/stages?status=complete",
+            timeout=10,
+        ) as r:
+            stages = json.load(r)
+    except Exception as e:  # noqa: BLE001
+        return [{"error": repr(e)[:200]}]
+    stages.sort(key=lambda s: -(s.get("executorRunTime") or 0))
+    out = []
+    for s in stages[:top_n]:
+        sid, att = s["stageId"], s["attemptId"]
+        try:
+            with urllib.request.urlopen(
+                f"{ui}/api/v1/applications/{app_id}/stages/{sid}/{att}/"
+                "taskSummary?quantiles=0.0,0.5,1.0",
+                timeout=10,
+            ) as r:
+                q = json.load(r)
+        except Exception as e:  # noqa: BLE001
+            out.append({"stageId": sid, "error": repr(e)[:200]})
+            continue
+        dur = q.get("duration") or []
+        if len(dur) == 3:
+            d_min, d_med, d_max = dur
+            out.append({
+                "stageId": sid,
+                "name": (s.get("name") or "")[:80],
+                "numTasks": s.get("numTasks"),
+                "task_ms_min": round(d_min, 1),
+                "task_ms_median": round(d_med, 1),
+                "task_ms_max": round(d_max, 1),
+                "max_over_median": round(d_max / max(d_med, 1.0), 2),
+            })
+    return out
 
 
 if __name__ == "__main__":

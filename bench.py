@@ -278,6 +278,105 @@ def _sf_label(path: str) -> float | str:
     return float(base[2:]) if base.startswith("sf") else base
 
 
+SKEW_EVENTS = int(os.environ.get("SPARK_GRAFT_SKEW_EVENTS", "2000000"))
+
+
+def run_skew_replay(tmp: str) -> dict:
+    """Adversarial hot-key replay — the north_star names hot-repo salting
+    as a required skew defense, and until this phase the bench only ever
+    replayed a mildly-skewed (hot_fraction=0.3) log.
+
+    Two logs, identical in every dimension (events, repos, key space,
+    batches) EXCEPT skew: ``uniform`` (hot_fraction=0 — events spread over
+    all repos) and ``skewed`` (ONE repo carries 50% of all events, and with
+    500 paths/repo its keys run ~2000 events each vs ~40 uniform — key-level
+    heat, not just repo-level). Each log replays through the full CDC merge
+    at local[SCALE_LO] and local[SCALE_HI] in fresh JVMs with stage metrics
+    on. Reported:
+
+    * ``skew_over_uniform_{lo,hi}`` — wall-time ratio; ≈1.0 means the
+      map-side LWW combine + bucket-hash exchange absorb the hot keys.
+    * ``task_straggler_{...}`` — max/median task duration of the heaviest
+      stage (status-API taskSummary): THE straggler metric; a hot key that
+      defeated the combine shows one task holding the stage hostage.
+    """
+    cfg_common = dict(n_events=SKEW_EVENTS, n_repos=100, paths_per_repo=500,
+                      n_batches=4, schema_add_batch=2)
+
+    def _gen(path: str, hot: float) -> None:
+        from pyspark.sql import functions as F
+
+        from arches_rascoll_etl_spark.session import get_spark
+        from arches_rascoll_etl_spark.synth import ChangeLogConfig, change_log
+
+        spark = get_spark(app_name="bench-gen-skew", cores=CPUS,
+                          shuffle_partitions=max(CPUS, 16))
+        spark.sparkContext.setLogLevel("ERROR")
+        (
+            change_log(spark, ChangeLogConfig(hot_fraction=hot, **cfg_common))
+            .repartition(max(CPUS, 16), F.col("repo"), F.col("path"))
+            .write.partitionBy("batch_id").mode("overwrite").parquet(path)
+        )
+        spark.stop()
+
+    def _one(events_path: str, cores: int, tag: str) -> dict | None:
+        out_f = os.path.join(tmp, f"skewrep_{tag}_{cores}.json")
+        wh = os.path.join("/dev/shm" if os.path.isdir("/dev/shm") else tmp,
+                          f"spark_graft_skew_wh_{tag}_{cores}")
+        env = dict(os.environ,
+                   SPARK_GRAFT_DRIVER_MEM=os.environ.get("SPARK_GRAFT_REPLAY_MEM", "12g"),
+                   SPARK_GRAFT_STAGE_METRICS="1")
+        try:
+            subprocess.run(
+                [sys.executable, "-m", "arches_rascoll_etl_spark.replay_bench",
+                 "--cores", str(cores), "--events", events_path,
+                 "--workdir", wh, "--out", out_f],
+                cwd=ROOT, check=True, timeout=RUN_TIMEOUT_S, env=env,
+                stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
+            )
+        except (subprocess.TimeoutExpired, subprocess.CalledProcessError) as e:
+            return {"failed": type(e).__name__}
+        finally:
+            shutil.rmtree(wh, ignore_errors=True)
+        with open(out_f) as f:
+            r = json.load(f)
+        skew_rows = [s for s in r.get("task_skew", [])
+                     if isinstance(s.get("max_over_median"), (int, float))]
+        # straggler verdict from stages whose tasks are heavy enough to
+        # measure (sub-100ms medians make max/median scheduler noise, not
+        # skew — observed 7.5x on a 77ms-median scan stage on a loaded box)
+        signal = [s for s in skew_rows
+                  if (s.get("task_ms_median") or 0) >= 100
+                  and (s.get("numTasks") or 0) >= 8]
+        worst = max((s["max_over_median"] for s in signal), default=None)
+        return {"wall_sec": r["wall_sec"], "events_per_sec": r["events_per_sec"],
+                "final_rows": r["final_rows"],
+                "task_straggler_max_over_median": worst,
+                "task_skew_stages": skew_rows[:3]}
+
+    res: dict = {"events": SKEW_EVENTS, "cores_lo": SCALE_LO, "cores_hi": SCALE_HI,
+                 "hot_fraction_skewed": 0.5, "n_repos": cfg_common["n_repos"],
+                 "paths_per_repo": cfg_common["paths_per_repo"]}
+    try:
+        paths = {}
+        for tag, hot in (("uniform", 0.0), ("skewed", 0.5)):
+            p = os.path.join(tmp, f"events_{tag}")
+            _gen(p, hot)
+            paths[tag] = p
+        for tag in ("uniform", "skewed"):
+            for level, cores in (("lo", SCALE_LO), ("hi", SCALE_HI)):
+                r = _one(paths[tag], cores, tag)
+                res[f"{tag}_{level}"] = r
+        for level in ("lo", "hi"):
+            u, s = res.get(f"uniform_{level}"), res.get(f"skewed_{level}")
+            if u and s and u.get("wall_sec") and s.get("wall_sec"):
+                res[f"skew_over_uniform_{level}"] = round(
+                    s["wall_sec"] / u["wall_sec"], 3)
+    except Exception as e:  # noqa: BLE001 — phase must never kill the bench
+        res["failed"] = repr(e)[:300]
+    return res
+
+
 def run_headline() -> dict[str, float]:
     from arches_rascoll_etl_spark import queries as Q
     from arches_rascoll_etl_spark.session import get_spark
@@ -1154,7 +1253,8 @@ def _standalone_md(sa: dict | None) -> list[str]:
 
 def write_bench_md(times: dict[str, float], cdc: dict, buckets: dict | None = None,
                    standalone: dict | None = None,
-                   headline_gate: dict | None = None) -> None:
+                   headline_gate: dict | None = None,
+                   skew: dict | None = None) -> None:
     os.makedirs(os.path.join(ROOT, "BENCH"), exist_ok=True)
     # snapshot the inputs so `python bench.py --report-only` can regenerate
     # this report (folding in hunt windows appended to the history files
@@ -1163,7 +1263,7 @@ def write_bench_md(times: dict[str, float], cdc: dict, buckets: dict | None = No
         with open(os.path.join(ROOT, "BENCH", "last_inputs.json"), "w") as f:
             json.dump({"times": times, "cdc": cdc, "buckets": buckets,
                        "standalone": standalone,
-                       "headline_gate": headline_gate}, f)
+                       "headline_gate": headline_gate, "skew": skew}, f)
     except TypeError:
         pass  # non-serializable phase detail must never block the report
     if cdc.get("measurement_failed"):
@@ -1381,6 +1481,46 @@ def write_bench_md(times: dict[str, float], cdc: dict, buckets: dict | None = No
                 "  compact() folds deltas back (lake/parquet_snapshot.py",
                 "  merge(mode='mor'), value-checked by q60 + tests/test_lake_mor.py).",
             ]
+    if skew and not skew.get("failed"):
+        lines += [
+            "",
+            f"## Adversarial hot-key skew replay ({skew.get('events')} events, "
+            f"local[{skew.get('cores_lo')}] / local[{skew.get('cores_hi')}])",
+            "",
+            "Two logs identical except skew: uniform (hot_fraction=0) vs ONE",
+            f"repo carrying 50% of all events over {skew.get('paths_per_repo')}"
+            " paths (~2000 events per hot key vs ~40 uniform). Full CDC merge",
+            "replay; the map-side LWW partial aggregation plus the bucket-hash",
+            "exchange are the skew defenses under test (north_star: hot repos",
+            "salted/repartitioned; operators/lww.py lww_latest_salted is the",
+            "explicit escalation for keys hotter than this).",
+            "",
+            "| log | cores | wall s | events/s | straggler (max/median task) |",
+            "|---|---|---|---|---|",
+        ]
+        for tag in ("uniform", "skewed"):
+            for level, ck in (("lo", "cores_lo"), ("hi", "cores_hi")):
+                r = skew.get(f"{tag}_{level}") or {}
+                if r.get("failed"):
+                    lines.append(f"| {tag} | {skew.get(ck)} | FAILED ({r['failed']}) | — | — |")
+                else:
+                    lines.append(
+                        f"| {tag} | {skew.get(ck)} | {r.get('wall_sec')} | "
+                        f"{r.get('events_per_sec')} | "
+                        f"{r.get('task_straggler_max_over_median')} |")
+        lines += [
+            "",
+            f"skewed/uniform wall ratio: lo **{skew.get('skew_over_uniform_lo')}**, "
+            f"hi **{skew.get('skew_over_uniform_hi')}** — ≈1.0 means the 50%-hot",
+            "log costs the same as the uniform one (hot keys collapse map-side",
+            "before the exchange, so no reducer sees the skew). The straggler",
+            "column is the heaviest stage's max/median task duration from the",
+            "status API's taskSummary (also asserted bounded in",
+            "tests/test_skew_straggler.py).",
+        ]
+    elif skew and skew.get("failed"):
+        lines += ["", "## Adversarial hot-key skew replay", "",
+                  f"phase failed: {skew['failed']}"]
     lines += _standalone_md(standalone)
     lines += [""]
     with open(os.path.join(ROOT, "BENCH", "BASELINE.md"), "w") as f:
@@ -1535,12 +1675,28 @@ def _compact_final(result: dict) -> dict:
                       "scatter_mor_over_cow_bytes")
             if k in bs
         }
+    sk = result.get("skew_replay") or {}
+    if sk and not sk.get("failed"):
+        sk_c = {k: sk[k] for k in
+                ("events", "skew_over_uniform_lo", "skew_over_uniform_hi")
+                if k in sk}
+        worst = [
+            (sk.get(f"skewed_{lvl}") or {}).get("task_straggler_max_over_median")
+            for lvl in ("lo", "hi")
+        ]
+        worst = [w for w in worst if isinstance(w, (int, float))]
+        if worst:
+            sk_c["skewed_task_straggler_max_over_median"] = max(worst)
+        out["skew_replay"] = sk_c
+    elif sk.get("failed"):
+        out["skew_replay"] = {"failed": sk["failed"][:80]}
     # hard size bound: r3's driver tail captured ~2.2 KB, and the full
     # compact line measured 2.03 KB once the roofline-history stats landed —
     # too thin a margin. Shed the least-load-bearing scalars (best-of
     # figures, redundant counts) in a fixed order until the line fits with
     # headroom; medians, validity, and per-query times always survive.
     _SHED = [
+        ("skew_replay", "events"),
         ("standalone_scaling", "best_eff_vs_delivered_cpu"),
         ("standalone_scaling", "n_delivered_cpu_windows"),
         ("standalone_scaling", "headline_n_delivered_cpu"),
@@ -1666,7 +1822,20 @@ def main() -> None:
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 
-    write_bench_md(times, cdc, buckets, standalone, headline_gate)
+    # adversarial skew phase LAST among measured phases: if an external
+    # timeout lands here, the north-rule scaling evidence above is already
+    # emitted and safe
+    skew = None
+    if os.environ.get("SPARK_GRAFT_SKEW", "1") != "0":
+        skew_tmp = tempfile.mkdtemp(prefix="skew_bench_")
+        try:
+            skew = run_skew_replay(skew_tmp)
+            result["skew_replay"] = skew
+            emit()
+        finally:
+            shutil.rmtree(skew_tmp, ignore_errors=True)
+
+    write_bench_md(times, cdc, buckets, standalone, headline_gate, skew)
     result["partial"] = False
     emit()  # final line pair; emit() ends with the compact driver-parseable line
 
@@ -1680,7 +1849,7 @@ def report_only() -> None:
     with open(os.path.join(ROOT, "BENCH", "last_inputs.json")) as f:
         d = json.load(f)
     write_bench_md(d["times"], d["cdc"], d.get("buckets"),
-                   d.get("standalone"), d.get("headline_gate"))
+                   d.get("standalone"), d.get("headline_gate"), d.get("skew"))
     print(json.dumps({"report_only": True,
                       "baseline_md": os.path.join(ROOT, "BENCH", "BASELINE.md")}))
 

@@ -62,7 +62,7 @@ def main():
     from arches_rascoll_etl_spark.session import get_spark
 
     qs, oracles = entry_mod.queries(), entry_mod.oracle_sql()
-    spark = get_spark(cores=8)
+    spark = get_spark(cores=int(os.environ.get("SELFCHECK_CORES", "8")))
     spark.sparkContext.setLogLevel("ERROR")
 
     con = duckdb.connect()
@@ -120,8 +120,20 @@ def main():
     print(f"\n{n_ok} exact-ok, {n_rows_only} rows-only, {n_bad} FAILED")
     if json_out:
         import json as _json
+        import subprocess
+        import time as _time
+        try:
+            sha = subprocess.run(
+                ["git", "rev-parse", "HEAD"],
+                capture_output=True, text=True,
+                cwd=Path(__file__).resolve().parent.parent,
+            ).stdout.strip()
+        except OSError:
+            sha = None
         with open(json_out, "w") as f:
-            _json.dump({"sf_dir": sf_dir, "n_exact": n_ok, "n_rows_only": n_rows_only,
+            _json.dump({"sf_dir": sf_dir, "git_sha": sha,
+                        "generated_at": _time.strftime("%Y-%m-%dT%H:%M:%SZ", _time.gmtime()),
+                        "n_exact": n_ok, "n_rows_only": n_rows_only,
                         "n_failed": n_bad, "queries": results}, f, indent=1)
     spark.stop()
     sys.exit(1 if n_bad else 0)

@@ -228,11 +228,21 @@ class StandaloneCluster:
     (process-group) on exit."""
 
     def __init__(self, n_workers: int, cores_per_worker: int, work_root: str,
-                 worker_mem: str = "8g"):
+                 worker_mem: str = "8g", pin_cpus: bool = False):
         self.n_workers = n_workers
         self.cores = cores_per_worker
         self.work_root = work_root
         self.worker_mem = worker_mem
+        # CPU pinning (taskset; affinity inherited by the executor JVM the
+        # worker forks and by its python UDF workers): worker i owns the
+        # DISJOINT slice [i*C, (i+1)*C), so the hi level's 4 executors sit
+        # on 4x the physical cores of the lo level's 1 — the box-partition
+        # experiment: without pinning the OS may timeshare all executor
+        # threads over the same hot cores and the "4x" level adds no
+        # capacity the scheduler actually grants. DRAM bandwidth remains
+        # shared (no resctrl/MBA in this sandbox) — the residual ceiling
+        # the roofline cohort quantifies.
+        self.pin_cpus = pin_cpus
         self.port = _free_port()
         self.master_url = f"spark://127.0.0.1:{self.port}"
         self._procs: list[subprocess.Popen] = []
@@ -259,11 +269,16 @@ class StandaloneCluster:
         for i in range(self.n_workers):
             wd = os.path.join(self.work_root, f"worker{i}")
             os.makedirs(wd, exist_ok=True)
+            argv = [SPARK_CLASS, "org.apache.spark.deploy.worker.Worker",
+                    self.master_url, "--cores", str(self.cores),
+                    "--memory", self.worker_mem, "--webui-port", "0",
+                    "--work-dir", wd]
+            if self.pin_cpus:
+                lo_c = i * self.cores
+                argv = ["taskset", "-c",
+                        f"{lo_c}-{lo_c + self.cores - 1}"] + argv
             self._procs.append(self._spawn(
-                [SPARK_CLASS, "org.apache.spark.deploy.worker.Worker",
-                 self.master_url, "--cores", str(self.cores),
-                 "--memory", self.worker_mem, "--webui-port", "0",
-                 "--work-dir", wd],
+                argv,
                 os.path.join(self.work_root, f"worker{i}.log"),
             ))
         self._wait_workers_registered()
@@ -325,8 +340,15 @@ class StandaloneCluster:
         exec_jvm = (f"-XX:ParallelGCThreads={max(self.cores, 2)}"
                     " -XX:ConcGCThreads=1"
                     f" -XX:CICompilerCount={max(self.cores, 2)}")
+        submit_prefix: list[str] = []
+        if self.pin_cpus:
+            # driver on its own slice at the top of the box, disjoint from
+            # every executor slice, so driver-side Py4J/scheduling work
+            # can't ride (or steal) the cores whose scaling is measured
+            n_host = os.cpu_count() or 32
+            submit_prefix = ["taskset", "-c", f"{n_host - 4}-{n_host - 1}"]
         subprocess.run(
-            [SPARK_SUBMIT,
+            submit_prefix + [SPARK_SUBMIT,
              "--master", self.master_url,
              "--py-files", zip_path,
              "--conf", "spark.executor.memory=6g",
@@ -359,7 +381,8 @@ def run_standalone_scaling(events: str, workdir: str,
                            sha_rounds: int = 1, sha_mode: str = "repeat",
                            midpair_gate_s: float = 0.0,
                            gate_rel_floor: float = 0.8,
-                           gate_memtouch_floor: float = 2e8) -> dict:
+                           gate_memtouch_floor: float = 2e8,
+                           pin_cpus: bool | None = None) -> dict:
     """One validated lo/hi pair on a real standalone cluster:
     1 executor × C cores vs 4 executors × C cores, grant-probe-bracketed
     (same validity rule as bench.py's local[k] pairs).
@@ -392,6 +415,8 @@ def run_standalone_scaling(events: str, workdir: str,
     swept = sweep_stale_clusters()
     if swept:
         print(f"[standalone] swept {swept} stale cluster process(es)", flush=True)
+    if pin_cpus is None:
+        pin_cpus = os.environ.get("SPARK_GRAFT_PIN_CPUS", "0") == "1"
     zip_path = _zip_engine()
     result: dict = {
         "mode": "standalone",
@@ -400,6 +425,7 @@ def run_standalone_scaling(events: str, workdir: str,
         "executors_hi": 4,
         "sha_rounds": sha_rounds,
         "sha_mode": sha_mode,
+        "pin_cpus": pin_cpus,
     }
     try:
         grants = [_grant_probe()]
@@ -443,7 +469,8 @@ def run_standalone_scaling(events: str, workdir: str,
             tbl_dir = os.path.join(workdir, f"tbl_{label}")
             out_json = os.path.join(workdir, f"replay_{label}.json")
             try:
-                with StandaloneCluster(n_workers, cores_per_worker, croot) as c:
+                with StandaloneCluster(n_workers, cores_per_worker, croot,
+                                       pin_cpus=pin_cpus) as c:
                     with LiveGrantMonitor() as mon, CpuAccount() as cpu:
                         levels[label] = c.submit_replay(
                             zip_path, events, tbl_dir, out_json,
