@@ -71,34 +71,69 @@ def main():
         if Path(p).exists():
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
 
+    import time as _time
+
     n_ok = n_bad = n_rows_only = 0
     for name, fn in qs.items():
         if only and name not in only:
             continue
+        t_q = _time.time()
         try:
             df = fn(spark, sf_dir)
             srows = [tuple(r) for r in df.collect()]
             scols = df.columns
         except Exception as e:  # noqa: BLE001
-            print(f"FAIL  {name}: spark error: {e}")
+            print(f"FAIL  {name}: spark error: {e}", flush=True)
             n_bad += 1
             results[name] = {"status": "FAIL", "problems": [f"spark error: {e}"[:300]]}
             continue
+        t_spark = _time.time() - t_q
         sql = oracles.get(name)
         if not sql:
-            print(f"rows  {name}: {len(srows)} rows (no oracle)")
+            print(f"rows  {name}: {len(srows)} rows (no oracle) "
+                  f"[spark {t_spark:.1f}s]", flush=True)
             n_rows_only += 1
             results[name] = {"status": "rows-only", "rows": len(srows)}
             continue
+        t_o = _time.time()
+        # oracle watchdog (SELFCHECK_ORACLE_TIMEOUT_S): a handful of
+        # oracles are deliberately naive SQL whose cost is super-linear in
+        # sf (q39/q85's recursive-CTE transitive closure enumerates
+        # O(component^2) (id,label) pairs — dense near-dup components at
+        # sf0.1 make that explode while the Spark side's pointer-jumping
+        # min-label stays O(E log d)). An interrupted oracle is recorded
+        # honestly as oracle-timeout with the Spark row count, never as a
+        # pass.
+        timeout_s = float(os.environ.get("SELFCHECK_ORACLE_TIMEOUT_S", "0") or 0)
+        timer = None
+        if timeout_s > 0:
+            import threading
+
+            timer = threading.Timer(timeout_s, con.interrupt)
+            timer.start()
         try:
             res = con.execute(sql)
             ocols = [d[0] for d in res.description]
             orows = res.fetchall()
+        except duckdb.InterruptException:
+            print(f"skip  {name}: oracle exceeded {timeout_s:.0f}s budget "
+                  f"(spark side: {len(srows)} rows in {t_spark:.1f}s)",
+                  flush=True)
+            n_rows_only += 1
+            results[name] = {
+                "status": "oracle-timeout", "rows": len(srows),
+                "oracle_timeout_s": timeout_s,
+            }
+            continue
         except Exception as e:  # noqa: BLE001
-            print(f"FAIL  {name}: duckdb error: {e}")
+            print(f"FAIL  {name}: duckdb error: {e}", flush=True)
             n_bad += 1
             results[name] = {"status": "FAIL", "problems": [f"duckdb error: {e}"[:300]]}
             continue
+        finally:
+            if timer is not None:
+                timer.cancel()
+        t_oracle = _time.time() - t_o
         problems = []
         if len(srows) != len(orows):
             problems.append(f"rowcount {len(srows)} vs {len(orows)}")
@@ -107,11 +142,12 @@ def main():
         elif value_hash(srows, scols) != value_hash(orows, ocols):
             problems.append("value-hash mismatch")
         if problems:
-            print(f"FAIL  {name}: {'; '.join(problems)}")
+            print(f"FAIL  {name}: {'; '.join(problems)}", flush=True)
             n_bad += 1
             results[name] = {"status": "FAIL", "problems": problems}
         else:
-            print(f"ok    {name}: {len(srows)} rows")
+            print(f"ok    {name}: {len(srows)} rows "
+                  f"[spark {t_spark:.1f}s oracle {t_oracle:.1f}s]", flush=True)
             n_ok += 1
             results[name] = {
                 "status": "exact", "rows": len(srows),
