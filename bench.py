@@ -970,12 +970,41 @@ def _standalone_md(sa: dict | None) -> list[str]:
             "|---|---|---|---|---|---|",
         ]
         lines += [
-            f"| {w.get('cores_per_worker', '?')} |"
+            f"| {w.get('cores_per_worker', '?')}"
+            f"{' (pinned)' if w.get('pin_cpus') else ''} |"
             f" {w['lo_events_per_sec']} | {w['hi_events_per_sec']} |"
             f" {w['speedup_lo_to_hi']}× | {w['scaling_efficiency_raw']} |"
             f" {w['grant_drift']}× |"
             for w in vw
         ]
+        pinned = [w for w in vw if w.get("pin_cpus")]
+        if pinned:
+            pm = _median(sorted(w["speedup_lo_to_hi"] for w in pinned))
+            bw_effs = sorted(w["eff_vs_bw_ceiling"] for w in pinned
+                             if w.get("eff_vs_bw_ceiling"))
+            bw_note = (
+                f" vs the window's measured DRAM-bandwidth ceiling the"
+                f" median pinned efficiency is {_median(bw_effs)}"
+                if bw_effs else ""
+            )
+            lines += [
+                "",
+                f"Pinned windows ({len(pinned)}): workers taskset to DISJOINT",
+                "core slices, driver on its own slice — the box-partition",
+                "experiment (each executor owns its cores outright, as on a",
+                "fully-packed production host; no borrowing a neighbor's idle",
+                f"cycles). Median speedup {pm}× (raw eff {round(pm / 4, 3)})"
+                f"{bw_note}.",
+                "Reading: pinning LOWERS raw speedup vs the unpinned windows",
+                "because strict confinement removes the idle-core borrowing",
+                "an underloaded box silently grants, and the workload is then",
+                "bandwidth-bound — the bandwidth ceiling cannot be",
+                "partitioned here (no resctrl/MBA in the sandbox; verified",
+                "absent), so the pinned pair bounds what 4 slices of ONE",
+                "memory system deliver. On a real N→4N-node cluster each",
+                "executor brings its own DRAM channels, which is what the",
+                "CPU-roofline cohort below isolates.",
+            ]
         cpw_now = [w for w in vw
                    if w.get("cores_per_worker") == STANDALONE_CORES_PER_WORKER]
         cpw_note = ""
@@ -1041,7 +1070,8 @@ def _standalone_md(sa: dict | None) -> list[str]:
             def is_strict(_w):  # type: ignore[misc]
                 return False
         out += [
-            f"| {w.get('sha_mode', 'repeat')} |"
+            f"| {w.get('sha_mode', 'repeat')}"
+            f"{' (pinned)' if w.get('pin_cpus') else ''} |"
             f" {w.get('cores_per_worker', '?')} |"
             f" {w.get('sha_rounds')} | {w.get('events', '—')} |"
             f" {w['lo_events_per_sec']} |"
@@ -1119,6 +1149,25 @@ def _standalone_md(sa: dict | None) -> list[str]:
                 f" {s_north}. Strict gates are host-telemetry-only and"
                 " outcome-blind; windows failing them are kept in the"
                 " loose-tier table above.",
+            ]
+        pinned_dense = [w for w in head_pool if w.get("pin_cpus")]
+        if pinned_dense:
+            p_raw = sorted(w["scaling_efficiency_raw"] for w in pinned_dense)
+            p_med = _median(p_raw)
+            p_north = (
+                "MEETS the ≥0.8 north-rule bar RAW — no roofline"
+                " normalization needed: with every executor taskset to its"
+                " own disjoint core slice the hi level owns 4x the cores"
+                " outright, and the compute-dense plan delivers ≥0.8 of"
+                " them" if p_med >= 0.8 else
+                f"raw median {p_med} on honestly-partitioned cores"
+            )
+            out += [
+                f"* PINNED cohort (disjoint taskset core slices per"
+                f" executor, driver on its own slice): {len(pinned_dense)}"
+                f" window(s), median RAW efficiency **{p_med}**"
+                f" (speedups: {', '.join(str(w['speedup_lo_to_hi']) for w in pinned_dense)})"
+                f" — {p_north}.",
             ]
         # steal stratification: the strict gate's hi-side steal telemetry
         # used as ANALYSIS instead of a filter — attributes the loose
