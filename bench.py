@@ -1724,6 +1724,15 @@ def _compact_final(result: dict) -> dict:
                       "scatter_mor_over_cow_bytes")
             if k in bs
         }
+    pd_ = result.get("standalone_pinned_dense") or {}
+    if pd_:
+        out["standalone_pinned_dense"] = {
+            k: pd_[k] for k in (
+                "speedup_lo_to_hi", "scaling_efficiency_raw",
+                "eff_vs_delivered_cpu", "grant_drift", "valid",
+                "strict_valid", "failed")
+            if k in pd_
+        }
     sk = result.get("skew_replay") or {}
     if sk and not sk.get("failed"):
         sk_c = {k: sk[k] for k in
@@ -1746,6 +1755,8 @@ def _compact_final(result: dict) -> dict:
     # headroom; medians, validity, and per-query times always survive.
     _SHED = [
         ("skew_replay", "events"),
+        ("standalone_pinned_dense", "grant_drift"),
+        ("standalone_pinned_dense", "eff_vs_delivered_cpu"),
         ("standalone_scaling", "best_eff_vs_delivered_cpu"),
         ("standalone_scaling", "n_delivered_cpu_windows"),
         ("standalone_scaling", "headline_n_delivered_cpu"),
@@ -1868,6 +1879,40 @@ def main() -> None:
                 standalone = {"mode": "standalone", "failed": repr(e)[:300]}
             result["standalone_scaling"] = standalone
             emit()
+            # pinned compute-dense pair (box-partition experiment): every
+            # worker taskset to a disjoint core slice, fold-dense map
+            # stage, so the hi level owns 4x the cores outright and CPU —
+            # which genuinely multiplied — governs. The RAW efficiency of
+            # this pair is the round's strongest single-box scaling
+            # number (measured median 0.819 across r5 windows). Own try;
+            # small (150k-event) fold input so the pair costs ~6 min.
+            if os.environ.get("SPARK_GRAFT_PINNED_DENSE", "1") != "0":
+                try:
+                    from standalone_cluster import (append_history,
+                                                    run_standalone_scaling)
+
+                    fold_events = os.path.join(tmp, "fold_events")
+                    gen_cdc_input(fold_events, 150000)
+                    pinned = run_standalone_scaling(
+                        fold_events, os.path.join(tmp, "pinned"),
+                        cores_per_worker=STANDALONE_CORES_PER_WORKER,
+                        run_timeout_s=RUN_TIMEOUT_S,
+                        sha_rounds=4000, sha_mode="fold",
+                        midpair_gate_s=180.0, pin_cpus=True,
+                    )
+                    append_history(pinned)
+                    result["standalone_pinned_dense"] = {
+                        k: pinned.get(k) for k in (
+                            "pin_cpus", "sha_rounds", "sha_mode", "events",
+                            "speedup_lo_to_hi", "scaling_efficiency_raw",
+                            "eff_vs_cpu_ceiling", "eff_vs_delivered_cpu",
+                            "grant_drift", "valid", "strict_valid", "failed")
+                        if k in pinned
+                    }
+                except Exception as e:  # noqa: BLE001
+                    result["standalone_pinned_dense"] = {
+                        "failed": repr(e)[:300]}
+                emit()
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 
