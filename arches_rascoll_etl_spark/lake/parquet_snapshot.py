@@ -530,8 +530,12 @@ class SnapshotTable(LakeTable):
         version = manifest["version"]
         # commit instant persisted IN the manifest (Iceberg stores it in
         # table metadata too): mtime-only resolution breaks under rsync/
-        # backup-restore/DR promotion, which rewrite mtimes wholesale
-        manifest.setdefault("committed_at", time.time())
+        # backup-restore/DR promotion, which rewrite mtimes wholesale.
+        # Always overwrite: rollback() commits a COPY of an old manifest,
+        # and carrying its original instant would timestamp the new
+        # version in the past (AS OF just before the rollback must still
+        # resolve the rolled-back head, not the re-published state).
+        manifest["committed_at"] = time.time()
         attempt = os.path.join(
             self.path, "manifests", f"attempt-{uuid.uuid4().hex[:12]}.json"
         )

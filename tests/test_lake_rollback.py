@@ -184,3 +184,34 @@ def test_rollback_preserves_point_lookup_pruning(spark, tmp_table_dir):
     tbl.merge(batch_events(spark, CFG, 3), batch_id="b3")
     assert tbl.current_version() == 4
     assert "b3" in tbl.committed_batch_ids()
+
+
+def test_rollback_commit_instant_is_fresh_not_copied(spark, tmp_table_dir):
+    """rollback() commits a COPY of the target manifest; its commit
+    instant must be stamped at ROLLBACK time, not inherited from the
+    target's original commit — otherwise AS OF an instant between the
+    abandoned head and the rollback resolves to the re-published state
+    and silently erases the window where the bad head was live."""
+    import json as _json
+    import time as _time
+
+    t = _mk(spark, tmp_table_dir)
+    for b in range(3):
+        t.merge(batch_events(spark, CFG, b), batch_id=f"b{b}")
+
+    def _inst(v):
+        with open(
+            os.path.join(tmp_table_dir, "manifests", f"v{v:06d}.json")
+        ) as f:
+            return _json.load(f)["committed_at"]
+
+    t0_inst = _inst(0)
+    _time.sleep(0.05)
+    rb_version = t.rollback(0)
+    assert rb_version == 3
+    # fresh stamp: strictly after the copied target's instant and ~now
+    assert _inst(3) > t0_inst
+    assert abs(_inst(3) - _time.time()) < 60
+    # AS OF just before the rollback still resolves the abandoned head
+    assert t.version_as_of(_inst(3) - 0.02) == 2
+    assert t.version_as_of(_inst(3)) == 3
