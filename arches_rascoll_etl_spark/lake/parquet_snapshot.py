@@ -252,6 +252,11 @@ class SnapshotTable(LakeTable):
         self._bloom_cache: tuple[int | None, tuple[dict, dict] | None] = (None, None)
         # bloom sidecar contents by filename, read-once per handle
         self._sidecar_cache: dict[str, dict] = {}
+        # commit-instant cache for version_as_of: committed manifests are
+        # immutable (CAS-linked), so an instant read once is valid for the
+        # handle's lifetime — repeated AS-OF resolution must not re-parse
+        # every manifest (which may carry inline stats/blooms) per call
+        self._instant_cache: dict[int, float] = {}
         os.makedirs(os.path.join(path, "manifests"), exist_ok=True)
         os.makedirs(os.path.join(path, "data"), exist_ok=True)
 
@@ -550,6 +555,7 @@ class SnapshotTable(LakeTable):
                 "re-read the head and redo the merge"
             ) from None
         os.unlink(attempt)
+        self._instant_cache[version] = manifest["committed_at"]
         # cache THIS handle's committed stats so the next commit's carry
         # step needs no parent-manifest re-read (see _collect_file_stats);
         # set only after the link wins, so a lost race never poisons it
@@ -724,6 +730,7 @@ class SnapshotTable(LakeTable):
         os.unlink(attempt)
         os.unlink(sp)
         version = m["version"]
+        self._instant_cache[version] = m["committed_at"]
         self._stats_cache = (version, m.get("file_stats") or {})
         self._bloom_cache = (
             version,
@@ -1031,14 +1038,17 @@ class SnapshotTable(LakeTable):
         best = None
         prev = float("-inf")
         for v in self._committed_versions():  # ascending
-            m_path = self._manifest_path(v)
-            try:
-                with open(m_path) as f:
-                    committed = json.load(f).get("committed_at")
-            except (OSError, ValueError):
-                committed = None
-            if committed is None:  # pre-committed_at manifest
-                committed = os.path.getmtime(m_path)
+            committed = self._instant_cache.get(v)
+            if committed is None:
+                m_path = self._manifest_path(v)
+                try:
+                    with open(m_path) as f:
+                        committed = json.load(f).get("committed_at")
+                except (OSError, ValueError):
+                    committed = None
+                if committed is None:  # pre-committed_at manifest
+                    committed = os.path.getmtime(m_path)
+                self._instant_cache[v] = committed
             committed = max(committed, prev)  # monotone with version order
             prev = committed
             if committed <= ts:

@@ -560,6 +560,11 @@ def test_read_as_of_timestamp(spark, tmp_table_dir):
         # bogus value — resolution must follow committed_at, not mtime
         p = _set_committed_at(tmp_table_dir, b, 1000.0 + 100 * b)
         _os.utime(p, (5.0, 5.0))
+    # fresh handle: out-of-band manifest edits model another writer/DR —
+    # a live handle may serve instants from its own-commit cache
+    t = SnapshotTable(
+        spark, tmp_table_dir, key_cols=("k",), order_cols=("s",), n_buckets=2
+    )
     assert t.version_as_of(1000.0) == 0       # exact instant is inclusive
     assert t.version_as_of(1150.0) == 1
     assert t.version_as_of(9e9) == 2
@@ -615,10 +620,15 @@ def test_as_of_survives_mtime_rewrite_and_falls_back_for_legacy(
             (now, now),
         )
     assert t.version_as_of(insts[1]) == before == 1
-    # legacy manifests (no committed_at): resolution falls back to mtime
+    # legacy manifests (no committed_at): resolution falls back to mtime.
+    # Fresh handle per out-of-band edit — a restore implies a new process,
+    # and a live handle legitimately caches instants it read or committed.
     for b in range(3):
         p = _set_committed_at(tmp_table_dir, b, None)
         _os.utime(p, (1000.0 + 100 * b,) * 2)
+    t = SnapshotTable(
+        spark, tmp_table_dir, key_cols=("k",), order_cols=("s",), n_buckets=2
+    )
     assert t.version_as_of(1150.0) == 1
     # non-monotone mtimes (cross-host writer interleave) are clamped: a
     # later version never resolves EARLIER than its parent — v2's bogus
@@ -627,6 +637,9 @@ def test_as_of_survives_mtime_rewrite_and_falls_back_for_legacy(
     _os.utime(
         _os.path.join(tmp_table_dir, "manifests", "v000002.json"),
         (900.0, 900.0),
+    )
+    t = SnapshotTable(
+        spark, tmp_table_dir, key_cols=("k",), order_cols=("s",), n_buckets=2
     )
     assert t.version_as_of(1050.0) == 0   # v2's raw 900 must NOT win here
     assert t.version_as_of(1100.0) == 2   # v2 clamped to v1's instant
