@@ -14,10 +14,16 @@ scan's partition count from driver-side metadata instead:
   exactly as FilePartition packing would (an upper-ish bound: packing can
   only merge small files into FEWER partitions, never split beyond
   size/maxPartitionBytes + 1 per file);
-* non-file plans (in-memory test frames, ``spark.range``): no input files
-  → reported as 0, i.e. "narrow", and the caller repartitions — correct
-  for the local-relation frames that hit this path, and a 100-TB input is
-  never a local relation.
+* non-file plans (local relations from ``createDataFrame`` /
+  ``spark.range``, cached or checkpointed frames — ``inputFiles()`` is
+  empty): width is UNKNOWN, and the gate answers "not narrow", i.e. the
+  caller does NOT repartition. That preserves the old ``.rdd`` probe's
+  behavior on both sub-cases: ``parallelize`` already spreads a local
+  relation across ~defaultParallelism partitions (the old gate no-op'd),
+  and a large cached/checkpointed corpus with hundreds of partitions must
+  never be collapsed to ``n`` by a well-meaning spread (the old gate
+  no-op'd there too). The case the gate exists for — one small parquet
+  file scanning as one task — is always file-backed.
 
 At real scale a table's file count alone exceeds any session parallelism,
 so the gate stays a no-op there — same behavior as the ``.rdd`` probe,
@@ -66,20 +72,21 @@ def _local_path(uri: str) -> str | None:
     return None
 
 
-def estimated_scan_partitions(df: DataFrame) -> int:
+def estimated_scan_partitions(df: DataFrame) -> int | None:
     """Estimated partition count of ``df``'s scan, from file metadata only.
 
-    0 for non-file-backed plans (local relations — always "narrow").
-    Remote files whose size can't be stat'ed count as one partition each,
-    which under-counts splits of huge remote files — acceptable for the
+    None for non-file-backed plans (local relations, cached/checkpointed
+    frames) — width unknown, caller must not assume narrow. Remote files
+    whose size can't be stat'ed count as one partition each, which
+    under-counts splits of huge remote files — acceptable for the
     one-sided narrow-input gate this feeds (file COUNT at scale already
     clears any session parallelism)."""
     try:
         files = df.inputFiles()
     except Exception:  # non-file plans on some backends raise
-        return 0
+        return None
     if not files:
-        return 0
+        return None
     max_bytes = parse_byte_size(
         df.sparkSession.conf.get(
             "spark.sql.files.maxPartitionBytes",
@@ -100,7 +107,10 @@ def estimated_scan_partitions(df: DataFrame) -> int:
 
 
 def is_narrow_input(df: DataFrame, parallelism: int) -> bool:
-    """True when the scan would produce fewer partitions than
+    """True when the scan is KNOWN to produce fewer partitions than
     ``parallelism`` — the condition under which the compute-dense dedup /
-    similarity entry points repartition before their heavy per-row work."""
-    return estimated_scan_partitions(df) < parallelism
+    similarity entry points repartition before their heavy per-row work.
+    Unknown width (non-file plans) answers False: never add a shuffle —
+    and never collapse an already-wide frame — on a guess."""
+    est = estimated_scan_partitions(df)
+    return est is not None and est < parallelism

@@ -172,10 +172,14 @@ def parse_maxwell(
     value_col: str = "value",
     keep_raw: bool = True,
 ) -> DataFrame:
-    """Typed change events from Maxwell JSON messages — same output shape
-    as :func:`parse_cdc_envelope` (record columns, ``op`` I/U/D, ordering
-    metadata, optional ``raw_value``), so the two connector formats are
-    interchangeable upstream of the same quarantine → LWW-merge pipeline.
+    """Typed change events from Maxwell JSON messages — a SUPERSET of
+    :func:`parse_cdc_envelope`'s output shape: the shared columns (record
+    columns, ``op`` I/U/D, ``commit_seq``, ``ts_ms``, optional
+    ``raw_value``) match by name, plus two Maxwell-only ordering columns
+    (``commit_ts``, ``commit_xid`` — see below). The two connector formats
+    feed the same quarantine → LWW-merge pipeline; union them with
+    ``unionByName(allowMissingColumns=True)`` (positional union or strict
+    schema equality across connectors will not line up).
 
     Maxwell differences handled here: the row image is always ``data``
     (including deletes — Maxwell ships the full deleted row, where

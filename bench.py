@@ -1531,14 +1531,20 @@ def write_bench_md(times: dict[str, float], cdc: dict, buckets: dict | None = No
                 "  merge(mode='mor'), value-checked by q60 + tests/test_lake_mor.py).",
             ]
     if skew and not skew.get("failed"):
+        n_ev = skew.get("events") or 0
+        ppr = skew.get("paths_per_repo") or 1
+        nrep = skew.get("n_repos") or 1
+        hot_per_key = round(n_ev * skew.get("hot_fraction_skewed", 0.5) / ppr)
+        uni_per_key = round(n_ev / (nrep * ppr))
         lines += [
             "",
-            f"## Adversarial hot-key skew replay ({skew.get('events')} events, "
+            f"## Adversarial hot-key skew replay ({n_ev} events, "
             f"local[{skew.get('cores_lo')}] / local[{skew.get('cores_hi')}])",
             "",
             "Two logs identical except skew: uniform (hot_fraction=0) vs ONE",
-            f"repo carrying 50% of all events over {skew.get('paths_per_repo')}"
-            " paths (~2000 events per hot key vs ~40 uniform). Full CDC merge",
+            f"repo carrying 50% of all events over {ppr}"
+            f" paths (~{hot_per_key} events per hot key vs ~{uni_per_key}"
+            " uniform). Full CDC merge",
             "replay; the map-side LWW partial aggregation plus the bucket-hash",
             "exchange are the skew defenses under test (north_star: hot repos",
             "salted/repartitioned; operators/lww.py lww_latest_salted is the",

@@ -23,10 +23,23 @@ def test_parse_byte_size_units():
     assert parse_byte_size(None) == 128 * 1024 * 1024
 
 
-def test_local_relation_counts_as_narrow(spark):
+def test_non_file_plans_are_unknown_never_narrow(spark):
+    """Local relations and checkpointed frames have no input files — width
+    unknown. The gate must answer NOT narrow: parallelize already spreads
+    a local relation, and a wide cached corpus must never be collapsed to
+    defaultParallelism by a well-meaning spread."""
     df = spark.createDataFrame([(i,) for i in range(100)], "k long")
-    assert estimated_scan_partitions(df) == 0
-    assert is_narrow_input(df, 8)
+    assert estimated_scan_partitions(df) is None
+    assert not is_narrow_input(df, 8)
+    ck = spark.range(1000).repartition(20).localCheckpoint(eager=True)
+    assert estimated_scan_partitions(ck) is None
+    assert not is_narrow_input(ck, 8)
+    # behavioral contract at the consumer: _spread leaves the wide
+    # checkpointed frame's partitioning alone (no Exchange added)
+    from arches_rascoll_etl_spark.operators.similarity import _spread
+
+    plan = _spread(ck)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
 
 
 def test_file_scan_estimate_small_file(spark):

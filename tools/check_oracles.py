@@ -106,10 +106,15 @@ def main():
         # pass.
         timeout_s = float(os.environ.get("SELFCHECK_ORACLE_TIMEOUT_S", "0") or 0)
         timer = None
+        timer_fired = []
         if timeout_s > 0:
             import threading
 
-            timer = threading.Timer(timeout_s, con.interrupt)
+            def _interrupt():
+                timer_fired.append(True)
+                con.interrupt()
+
+            timer = threading.Timer(timeout_s, _interrupt)
             timer.start()
         try:
             res = con.execute(sql)
@@ -133,6 +138,15 @@ def main():
         finally:
             if timer is not None:
                 timer.cancel()
+                if timer_fired:
+                    # cancel raced the timer: the interrupt landed after
+                    # this oracle finished and would otherwise abort the
+                    # NEXT query (mis-recorded as ITS timeout). Absorb the
+                    # pending interrupt on a throwaway statement.
+                    try:
+                        con.execute("SELECT 1").fetchall()
+                    except duckdb.InterruptException:
+                        pass
         t_oracle = _time.time() - t_o
         problems = []
         if len(srows) != len(orows):

@@ -242,6 +242,20 @@ class StandaloneCluster:
         # capacity the scheduler actually grants. DRAM bandwidth remains
         # shared (no resctrl/MBA in this sandbox) — the residual ceiling
         # the roofline cohort quantifies.
+        # Guard the premise: worker slices + the driver's 4-cpu slice must
+        # all fit DISJOINTLY in the host — otherwise slices overlap (the
+        # "owns its cores outright" claim silently becomes false) or name
+        # CPUs past the host count (worker dies at launch, 90s registration
+        # timeout). Refuse rather than measure a lie.
+        if pin_cpus:
+            n_host = os.cpu_count() or 0
+            need = n_workers * cores_per_worker + 4  # workers + driver slice
+            if need > n_host:
+                raise ValueError(
+                    f"pin_cpus needs {need} disjoint cpus ({n_workers} workers"
+                    f" x {cores_per_worker} + 4 driver) but the host has"
+                    f" {n_host}; run unpinned or shrink the cluster"
+                )
         self.pin_cpus = pin_cpus
         self.port = _free_port()
         self.master_url = f"spark://127.0.0.1:{self.port}"
